@@ -1,0 +1,310 @@
+"""Consensus-ADMM driver: the jit-compiled solver core.
+
+Replaces the reference's cvxpy canonicalization + ECOS interior-point solve
+(``/root/reference/arbitrage.py:81-82``) with an operator-splitting method
+whose per-iteration work is exactly: one batched trading-set projection per
+bucket (``ops/projection.py``), one scatter-add over edges, and O(n) vector
+arithmetic — no factorizations, no sparse matrices, no host round-trips.
+
+Derivation (all steps exact):
+
+Split variables: per pool  w_i = (D_i, L_i)  with  F(w) = sum_i I_{T_i}(w_i),
+and edge copies  z  with  G~(z) = -c^T psi(z) + I_box(psi(z)),  where
+psi_j(z) = sum_{edges e into j} (zL_e - zD_e).  ADMM on  w = z:
+
+    w^{k+1} = Proj_T(z^k - u^k)                       (bucketed projection)
+    w_hat   = alpha w^{k+1} + (1-alpha) z^k           (over-relaxation)
+    z^{k+1} = argmin_z G~(z) + rho/2 ||z - (w_hat + u^k)||^2
+    u^{k+1} = u^k + w_hat - z^{k+1}
+
+The z-step decomposes per asset j: with v = w_hat + u and
+s_j = sum_e (vL_e - vD_e), minimizing over the fiber {psi(z) = psi} gives
+zL_e = vL_e + mu_j, zD_e = vD_e - mu_j with mu_j = (psi_j - s_j)/(2 d_j)
+(d_j = #edges at j), which collapses the z-step to the n-dim prox in
+``ops/prox.py``.  Consequently u is ALWAYS of the form
+(u_D, u_L)_e = (+nu_j, -nu_j): the entire edge-space dual lives in one
+per-asset price vector nu (and rho*nu converges to the optimal asset
+prices).  Per-iteration cross-device communication when pools are sharded
+is therefore one psum of an (n+1)-vector plus a few scalars — the property
+that makes consensus ADMM the right decomposition for ICI (SURVEY.md §2).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.utility import Objective
+from ..ops.projection import ProjectionConfig, project_cs, project_gm
+from .compiler import CompiledProblem
+
+__all__ = ["AdmmOptions", "AdmmSolver", "RouteResult"]
+
+
+@dataclasses.dataclass(frozen=True)
+class AdmmOptions:
+    rho: float = 1.0
+    alpha: float = 1.7  # over-relaxation in [1.0, 1.8]
+    max_iters: int = 2000
+    check_every: int = 1  # residual check cadence inside while_loop
+    eps_abs: float = 1e-9
+    eps_rel: float = 1e-9
+    adapt_rho: bool = True
+    adapt_every: int = 50
+    adapt_factor: float = 2.0
+    adapt_ratio: float = 10.0
+    projection: ProjectionConfig = ProjectionConfig()
+
+
+class RouteResult(NamedTuple):
+    """Solver output (device arrays; see AdmmSolver.unbucket for host view)."""
+
+    objective: jax.Array  # c^T psi at the prox point
+    psi: jax.Array  # (n,) net trade vector
+    prices: jax.Array  # (n,) dual asset prices rho*nu
+    deltas: Dict[str, jax.Array]  # bucket -> (m, K) tendered
+    lambdas: Dict[str, jax.Array]  # bucket -> (m, K) received
+    iters: jax.Array
+    r_norm: jax.Array  # final primal residual norm
+    s_norm: jax.Array  # final dual residual norm
+    converged: jax.Array
+
+
+def _bucket_device_arrays(compiled: CompiledProblem, dtype):
+    out = {}
+    for name, b in compiled.buckets.items():
+        out[name] = dict(
+            R=jnp.asarray(b.reserves, dtype),
+            w=jnp.asarray(b.weights, dtype),
+            s=jnp.asarray(b.shift, dtype),
+            gamma=jnp.asarray(b.gamma, dtype),
+            logk0=jnp.asarray(b.logk0, dtype),
+            k0=jnp.asarray(b.k0, dtype),
+            mask=jnp.asarray(b.mask, dtype),
+            asset=jnp.asarray(b.asset, jnp.int32),
+        )
+    return out
+
+
+class AdmmSolver:
+    """Compiled ADMM solver bound to one problem structure.
+
+    The constructor traces/compiles once; `solve` takes (c, lo, hi) device
+    arrays so sweeps (reference ``two-asset.py:40``) run as ONE vmapped
+    batched call instead of 50 serial canonicalize+solve cycles.
+    """
+
+    def __init__(
+        self,
+        compiled: CompiledProblem,
+        dtype=jnp.float32,
+        options: AdmmOptions = AdmmOptions(),
+        segment_sum_fn=None,
+        degree_override: Optional[np.ndarray] = None,
+    ):
+        self.compiled = compiled
+        self.dtype = jnp.dtype(dtype)
+        # v5e-class TPUs have no native f64; the remote-compile path hangs
+        # rather than erroring on f64 programs.  Certification-grade f64
+        # solves belong on the CPU backend (tests / refine stage).
+        if self.dtype == jnp.float64 and jax.default_backend() != "cpu":
+            raise ValueError(
+                "float64 AdmmSolver requires the CPU backend "
+                "(set JAX_PLATFORMS=cpu); TPUs run the f32 path + f64 host refine"
+            )
+        self.options = options
+        self.n = compiled.n_assets
+        self.buckets = _bucket_device_arrays(compiled, dtype)
+        self._meta = {
+            name: (b.kind, b.needs_floor) for name, b in compiled.buckets.items()
+        }
+        deg = compiled.degree if degree_override is None else degree_override
+        self.degree = jnp.asarray(np.concatenate([deg, [0.0]]), dtype)
+        # segment-sum hook: the sharded solver (parallel/) swaps in a
+        # psum-reducing version; default is single-device.
+        self._segsum = segment_sum_fn or (
+            lambda vals, idx: jax.ops.segment_sum(
+                vals.reshape(-1), idx.reshape(-1), num_segments=self.n + 1
+            )
+        )
+        self._solve_jit = jax.jit(self._solve_impl)
+        self._solve_vmapped = jax.jit(
+            jax.vmap(self._solve_impl, in_axes=(0, 0, 0, None))
+        )
+
+    # ---- single iteration ---------------------------------------------------
+
+    def _project(self, name, arrs, pD, pL):
+        kind, floor = self._meta[name]
+        cfg = self.options.projection
+        if kind == "gm":
+            return project_gm(
+                pD, pL, arrs["R"], arrs["w"], arrs["s"], arrs["gamma"],
+                arrs["logk0"], arrs["k0"], arrs["mask"],
+                needs_floor=floor, cfg=cfg,
+            )
+        return project_cs(
+            pD, pL, arrs["R"], arrs["gamma"], arrs["k0"], arrs["mask"], cfg=cfg
+        )
+
+    def _iterate(self, z, nu, rho, c, lo, hi):
+        """One ADMM iteration. Returns (z_new, nu_new, psi, w, stats)."""
+        alpha = jnp.asarray(self.options.alpha, self.dtype)
+        w_hat = {}
+        w_norm2 = jnp.zeros((), self.dtype)
+        yhat = jnp.zeros((self.n + 1,), self.dtype)
+        for name, arrs in self.buckets.items():
+            nu_e = nu[arrs["asset"]]
+            zD, zL = z[name][..., 0], z[name][..., 1]
+            D, L = self._project(name, arrs, zD - nu_e, zL + nu_e)
+            w_norm2 += jnp.sum(D * D) + jnp.sum(L * L)
+            hD = alpha * D + (1.0 - alpha) * zD
+            hL = alpha * L + (1.0 - alpha) * zL
+            w_hat[name] = (D, L, hD, hL)
+            yhat = yhat + self._segsum(hL - hD, arrs["asset"])
+
+        s = yhat - 2.0 * self.degree * nu
+        from ..ops.prox import psi_prox
+
+        psi, mu = psi_prox(s, self.degree, c, lo, hi, rho)
+
+        z_new = {}
+        w_out = {}
+        r2 = jnp.zeros((), self.dtype)
+        s2 = jnp.zeros((), self.dtype)
+        z_norm2 = jnp.zeros((), self.dtype)
+        for name, arrs in self.buckets.items():
+            D, L, hD, hL = w_hat[name]
+            dmu = (nu - mu)[arrs["asset"]]
+            znD = hD + dmu
+            znL = hL - dmu
+            zn = jnp.stack([znD, znL], axis=-1)
+            dz = zn - z[name]
+            s2 += jnp.sum(dz * dz)
+            rD = D - znD
+            rL = L - znL
+            r2 += jnp.sum(rD * rD) + jnp.sum(rL * rL)
+            z_norm2 += jnp.sum(zn * zn)
+            z_new[name] = zn
+            w_out[name] = jnp.stack([D, L], axis=-1)
+
+        u_norm2 = jnp.sum(2.0 * self.degree * mu * mu)
+        stats = dict(
+            r2=r2, s2=s2 * rho * rho, w_norm2=w_norm2, z_norm2=z_norm2,
+            u_norm2=u_norm2 * rho * rho,
+        )
+        return z_new, mu, psi, w_out, stats
+
+    # ---- full solve ---------------------------------------------------------
+
+    def _solve_impl(self, c, lo, hi, rho0):
+        opts = self.options
+        n_edges = sum(
+            2 * int(np.prod(b["mask"].shape)) for b in self.buckets.values()
+        )
+        sqn = jnp.asarray(np.sqrt(n_edges), self.dtype)
+        c = jnp.concatenate([c.astype(self.dtype), jnp.zeros((1,), self.dtype)])
+        lo = jnp.concatenate([lo.astype(self.dtype), jnp.zeros((1,), self.dtype)])
+        hi = jnp.concatenate([hi.astype(self.dtype), jnp.zeros((1,), self.dtype)])
+
+        z0 = {
+            name: jnp.zeros(arrs["mask"].shape + (2,), self.dtype)
+            for name, arrs in self.buckets.items()
+        }
+        nu0 = jnp.zeros((self.n + 1,), self.dtype)
+
+        def cond(state):
+            k, _, _, rho, r, s, eps_pri, eps_dua, _, _ = state
+            return jnp.logical_and(
+                k < opts.max_iters,
+                jnp.logical_or(r > eps_pri, s > eps_dua),
+            )
+
+        def body(state):
+            k, z, nu, rho, _, _, _, _, _, _ = state
+            z, nu, psi, w, st = self._iterate(z, nu, rho, c, lo, hi)
+            r = jnp.sqrt(st["r2"])
+            sd = jnp.sqrt(st["s2"])
+            eps_pri = opts.eps_abs * sqn + opts.eps_rel * jnp.sqrt(
+                jnp.maximum(st["w_norm2"], st["z_norm2"])
+            )
+            eps_dua = opts.eps_abs * sqn + opts.eps_rel * jnp.sqrt(st["u_norm2"])
+            if opts.adapt_rho:
+                do_adapt = jnp.logical_and(
+                    (k + 1) % opts.adapt_every == 0, k + 1 < opts.max_iters // 2
+                )
+                up = jnp.logical_and(do_adapt, r > opts.adapt_ratio * sd)
+                dn = jnp.logical_and(do_adapt, sd > opts.adapt_ratio * r)
+                fac = jnp.where(
+                    up, opts.adapt_factor, jnp.where(dn, 1.0 / opts.adapt_factor, 1.0)
+                ).astype(self.dtype)
+                rho = rho * fac
+                nu = nu / fac
+            return (k + 1, z, nu, rho, r, sd, eps_pri, eps_dua, psi, w)
+
+        big = jnp.asarray(jnp.inf, self.dtype)
+        w0 = {name: jnp.zeros_like(z) for name, z in z0.items()}
+        state0 = (
+            jnp.zeros((), jnp.int32), z0, nu0,
+            jnp.asarray(rho0, self.dtype), big, big,
+            jnp.zeros((), self.dtype), jnp.zeros((), self.dtype),
+            jnp.zeros((self.n + 1,), self.dtype), w0,
+        )
+        k, z, nu, rho, r, sd, eps_pri, eps_dua, psi, w = jax.lax.while_loop(
+            cond, body, state0
+        )
+
+        # primal variables from the last iteration's projection (exactly
+        # feasible per pool — each (D, L) lies in its trading set)
+        deltas = {name: w[name][..., 0] for name in self.buckets}
+        lambdas = {name: w[name][..., 1] for name in self.buckets}
+
+        obj = jnp.sum(c[: self.n] * psi[: self.n])
+        converged = jnp.logical_and(r <= eps_pri, sd <= eps_dua)
+        return RouteResult(
+            objective=obj,
+            psi=psi[: self.n],
+            prices=(rho * nu)[: self.n],
+            deltas=deltas,
+            lambdas=lambdas,
+            iters=k,
+            r_norm=r,
+            s_norm=sd,
+            converged=converged,
+        )
+
+    def solve(self, objective: Objective, rho: Optional[float] = None) -> RouteResult:
+        c = jnp.asarray(objective.c, self.dtype)
+        big = jnp.asarray(np.finfo(np.float32).max / 4, self.dtype)
+        lo = jnp.asarray(np.maximum(objective.lo, -np.finfo(np.float32).max / 4), self.dtype)
+        hi = jnp.asarray(np.minimum(objective.hi, np.finfo(np.float32).max / 4), self.dtype)
+        del big
+        return self._solve_jit(c, lo, hi, rho if rho is not None else self.options.rho)
+
+    def solve_batch(self, c, lo, hi, rho: Optional[float] = None) -> RouteResult:
+        """vmapped solve over leading batch axis of (c, lo, hi)."""
+        return self._solve_vmapped(
+            jnp.asarray(c, self.dtype),
+            jnp.asarray(lo, self.dtype),
+            jnp.asarray(hi, self.dtype),
+            rho if rho is not None else self.options.rho,
+        )
+
+    # ---- host-side unbucketing ---------------------------------------------
+
+    def unbucket(self, result: RouteResult):
+        """Return per-pool (delta, lambda) numpy arrays in spec order."""
+        deltas = [None] * self.compiled.n_pools
+        lambdas = [None] * self.compiled.n_pools
+        for name, b in self.compiled.buckets.items():
+            D = np.asarray(result.deltas[name])
+            L = np.asarray(result.lambdas[name])
+            for r, pid in enumerate(b.pool_ids):
+                k = self.compiled.spec.pools[pid].width
+                deltas[pid] = D[r, :k]
+                lambdas[pid] = L[r, :k]
+        return deltas, lambdas

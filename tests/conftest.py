@@ -1,0 +1,23 @@
+"""Test configuration: run the suite on a simulated 8-device CPU mesh.
+
+Multi-chip sharding logic is tested the JAX-native way (SURVEY.md §4):
+``xla_force_host_platform_device_count=8`` gives 8 virtual CPU devices, so
+shard_map/pjit paths execute real collectives without TPU hardware.  f64 is
+enabled so certification-grade ground truth is available; f32 paths are
+exercised by passing explicitly-typed arrays.
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
