@@ -1,0 +1,149 @@
+"""High-level workload API: the reference's three scripts as one-call fns.
+
+    arbitrage(spec, market_values)        ~ /root/reference/arbitrage.py
+    liquidate(spec, holdings, numeraire)  ~ /root/reference/liquidation.py
+    sweep(spec, give, receive, amounts)   ~ /root/reference/two-asset.py
+
+The sweep runs all grid points as ONE vmapped device call (the reference
+re-canonicalizes and re-solves 50 times in a Python loop,
+``two-asset.py:40-91``).  Each call returns a :class:`Route` with per-pool
+trades in spec order, the net trade vector, dual prices, and solver
+diagnostics; `certify=True` adds an f64 host-side certification report
+(feasibility residuals + duality gap, ``solver/certify.py``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .models.utility import Objective
+from .solver.admm import AdmmOptions, AdmmSolver
+from .solver.compiler import ProblemSpec, compile_spec
+
+__all__ = ["Route", "Sweep", "arbitrage", "liquidate", "sweep", "make_solver"]
+
+
+@dataclasses.dataclass
+class Route:
+    """A solved routing: what to tender/receive at every pool."""
+
+    objective: float
+    psi: np.ndarray
+    prices: np.ndarray
+    deltas: List[np.ndarray]  # per pool, spec order
+    lambdas: List[np.ndarray]
+    iters: int
+    converged: bool
+    r_norm: float
+    s_norm: float
+    certificate: Optional[object] = None
+
+
+@dataclasses.dataclass
+class Sweep:
+    """Batched solve over a grid of input amounts (price-impact frontier)."""
+
+    amounts: np.ndarray
+    utilities: np.ndarray  # u(t) per grid point
+    net_trades: List[np.ndarray]  # per pool: (k, T) array of Lambda - Delta
+    iters: np.ndarray
+    converged: np.ndarray
+
+
+def make_solver(
+    spec: ProblemSpec,
+    dtype=jnp.float32,
+    options: Optional[AdmmOptions] = None,
+) -> AdmmSolver:
+    compiled = compile_spec(spec)
+    return AdmmSolver(compiled, dtype=dtype, options=options or AdmmOptions())
+
+
+def _route_from(solver: AdmmSolver, res) -> Route:
+    deltas, lambdas = solver.unbucket(res)
+    return Route(
+        objective=float(res.objective),
+        psi=np.asarray(res.psi),
+        prices=np.asarray(res.prices),
+        deltas=deltas,
+        lambdas=lambdas,
+        iters=int(res.iters),
+        converged=bool(res.converged),
+        r_norm=float(res.r_norm),
+        s_norm=float(res.s_norm),
+    )
+
+
+def arbitrage(
+    spec: ProblemSpec,
+    market_values: Sequence[float],
+    solver: Optional[AdmmSolver] = None,
+    **solver_kwargs,
+) -> Route:
+    """max market_value @ psi s.t. psi >= 0 (``arbitrage.py:57,77``)."""
+    solver = solver or make_solver(spec, **solver_kwargs)
+    obj = Objective.arbitrage(market_values)
+    return _route_from(solver, solver.solve(obj))
+
+
+def liquidate(
+    spec: ProblemSpec,
+    holdings: Sequence[float],
+    numeraire: int,
+    solver: Optional[AdmmSolver] = None,
+    **solver_kwargs,
+) -> Route:
+    """Liquidate `holdings` entirely into asset `numeraire`
+    (``liquidation.py:57,77-80``)."""
+    solver = solver or make_solver(spec, **solver_kwargs)
+    obj = Objective.liquidation(spec.n_assets, numeraire, holdings)
+    return _route_from(solver, solver.solve(obj))
+
+
+def sweep(
+    spec: ProblemSpec,
+    give: int,
+    receive: int,
+    amounts: Sequence[float],
+    solver: Optional[AdmmSolver] = None,
+    **solver_kwargs,
+) -> Sweep:
+    """Trade-size sweep: u(t) = max psi[receive] s.t. psi >= -t e_give.
+
+    One batched vmapped solve over the whole grid — the TPU-native
+    counterpart of the serial loop at ``two-asset.py:40-91``.
+    """
+    solver = solver or make_solver(spec, **solver_kwargs)
+    n = spec.n_assets
+    amounts = np.asarray(amounts, np.float64)
+    T = len(amounts)
+
+    c = np.zeros((T, n))
+    c[:, receive] = 1.0
+    lo = np.zeros((T, n))
+    lo[:, give] = -amounts
+    hi = np.full((T, n), np.finfo(np.float32).max / 4)
+
+    res = solver.solve_batch(c, lo, hi)
+
+    # per-pool net trades (k, T), reference's `all_values` (two-asset.py:93-94)
+    net = []
+    dbat = {k: np.asarray(v) for k, v in res.deltas.items()}
+    lbat = {k: np.asarray(v) for k, v in res.lambdas.items()}
+    per_pool = [None] * solver.compiled.n_pools
+    for name, b in solver.compiled.buckets.items():
+        for r, pid in enumerate(b.pool_ids):
+            k = solver.compiled.spec.pools[pid].width
+            per_pool[pid] = (lbat[name][:, r, :k] - dbat[name][:, r, :k]).T
+    net = per_pool
+
+    return Sweep(
+        amounts=amounts,
+        utilities=np.asarray(res.objective),
+        net_trades=net,
+        iters=np.asarray(res.iters),
+        converged=np.asarray(res.converged),
+    )

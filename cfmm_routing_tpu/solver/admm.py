@@ -111,10 +111,15 @@ class AdmmSolver:
         # v5e-class TPUs have no native f64; the remote-compile path hangs
         # rather than erroring on f64 programs.  Certification-grade f64
         # solves belong on the CPU backend (tests / refine stage).
-        if self.dtype == jnp.float64 and jax.default_backend() != "cpu":
+        default_dev = jax.config.jax_default_device
+        platform = (
+            default_dev.platform if default_dev is not None else jax.default_backend()
+        )
+        if self.dtype == jnp.float64 and platform != "cpu":
             raise ValueError(
-                "float64 AdmmSolver requires the CPU backend "
-                "(set JAX_PLATFORMS=cpu); TPUs run the f32 path + f64 host refine"
+                "float64 AdmmSolver requires the CPU backend (set "
+                "jax.config.update('jax_default_device', jax.devices('cpu')[0])); "
+                "TPUs run the f32 path + f64 host refine"
             )
         self.options = options
         self.n = compiled.n_assets

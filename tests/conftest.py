@@ -9,7 +9,6 @@ exercised by passing explicitly-typed arrays.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,3 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# NOTE: this environment force-registers a remote TPU backend via
+# sitecustomize and IGNORES `JAX_PLATFORMS=cpu`; pinning the default
+# device is the reliable way to keep the test suite off the TPU tunnel.
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
