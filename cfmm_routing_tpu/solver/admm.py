@@ -105,6 +105,7 @@ class AdmmSolver:
         options: AdmmOptions = AdmmOptions(),
         segment_sum_fn=None,
         degree_override: Optional[np.ndarray] = None,
+        axis_name: Optional[str] = None,
     ):
         self.compiled = compiled
         self.dtype = jnp.dtype(dtype)
@@ -129,8 +130,15 @@ class AdmmSolver:
         }
         deg = compiled.degree if degree_override is None else degree_override
         self.degree = jnp.asarray(np.concatenate([deg, [0.0]]), dtype)
-        # segment-sum hook: the sharded solver (parallel/) swaps in a
-        # psum-reducing version; default is single-device.
+        # cross-shard reduction: identity on one device; psum over the pool
+        # mesh axis inside shard_map (parallel/sharded.py) — the ONLY
+        # cross-device communication per iteration is this (n+1)-vector
+        # plus the 4 residual scalars (SURVEY.md §2).
+        self.axis_name = axis_name
+        if axis_name is None:
+            self._psum = lambda x: x
+        else:
+            self._psum = lambda x: jax.lax.psum(x, axis_name)
         self._segsum = segment_sum_fn or (
             lambda vals, idx: jax.ops.segment_sum(
                 vals.reshape(-1), idx.reshape(-1), num_segments=self.n + 1
@@ -172,6 +180,7 @@ class AdmmSolver:
             w_hat[name] = (D, L, hD, hL)
             yhat = yhat + self._segsum(hL - hD, arrs["asset"])
 
+        yhat = self._psum(yhat)
         s = yhat - 2.0 * self.degree * nu
         from ..ops.prox import psi_prox
 
@@ -197,6 +206,10 @@ class AdmmSolver:
             z_new[name] = zn
             w_out[name] = jnp.stack([D, L], axis=-1)
 
+        # one packed psum for the four local partial sums (replicated
+        # quantities like u_norm2 need no reduction)
+        packed = self._psum(jnp.stack([r2, s2, w_norm2, z_norm2]))
+        r2, s2, w_norm2, z_norm2 = packed[0], packed[1], packed[2], packed[3]
         u_norm2 = jnp.sum(2.0 * self.degree * mu * mu)
         stats = dict(
             r2=r2, s2=s2 * rho * rho, w_norm2=w_norm2, z_norm2=z_norm2,

@@ -104,8 +104,16 @@ class CompiledProblem:
         return sorted(self.buckets.keys())
 
 
-def compile_spec(spec: ProblemSpec, pad_pow2: bool = True) -> CompiledProblem:
-    """Lower a :class:`ProblemSpec` into bucketed padded arrays."""
+def compile_spec(
+    spec: ProblemSpec, pad_pow2: bool = True, pad_pools_to: int = 1
+) -> CompiledProblem:
+    """Lower a :class:`ProblemSpec` into bucketed padded arrays.
+
+    ``pad_pools_to``: round each bucket's pool count up to a multiple (so
+    the pool axis divides a device mesh).  Padding pools are inert: fully
+    masked, zero weights, unit reserves, dummy asset index — their
+    projection is the identity at the origin and they scatter nothing.
+    """
     n = spec.n_assets
     groups: Dict[Tuple[str, int, bool], List[int]] = {}
     for pid, pool in enumerate(spec.pools):
@@ -118,7 +126,8 @@ def compile_spec(spec: ProblemSpec, pad_pow2: bool = True) -> CompiledProblem:
     degree = np.zeros(n, dtype=np.float64)
     n_slots = 0
     for (kind, K, floor), pids in sorted(groups.items()):
-        m = len(pids)
+        m_real = len(pids)
+        m = -(-m_real // pad_pools_to) * pad_pools_to
         R = np.zeros((m, K))
         W = np.zeros((m, K))
         S = np.zeros((m, K))
