@@ -135,9 +135,10 @@ def sweep(
     lbat = {k: np.asarray(v) for k, v in res.lambdas.items()}
     per_pool = [None] * solver.compiled.n_pools
     for name, b in solver.compiled.buckets.items():
+        # batched slot-major: (T, K, m) -> per pool (k, T)
         for r, pid in enumerate(b.pool_ids):
             k = solver.compiled.spec.pools[pid].width
-            per_pool[pid] = (lbat[name][:, r, :k] - dbat[name][:, r, :k]).T
+            per_pool[pid] = (lbat[name][:, :k, r] - dbat[name][:, :k, r]).T
     net = per_pool
 
     return Sweep(

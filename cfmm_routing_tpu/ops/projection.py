@@ -4,7 +4,8 @@ This module is the mathematical core of the solver — the TPU-native
 replacement for the ECOS interior-point iterations hidden behind the
 reference's ``prob.solve()`` (``/root/reference/arbitrage.py:82``).
 
-Projection problem (per pool, batched over an (m, K) bucket):
+Projection problem (per pool, batched over a slot-major (K, m) bucket —
+pools ride the 128-lane axis, slots the sublane axis):
 
     minimize_{D, L}  ||D - p||^2 + ||L - q||^2
     s.t.             D >= 0,  L >= 0,
@@ -22,11 +23,13 @@ a CLOSED-FORM solution (a 4-region piecewise quadratic — `_inner_gm`).
 For phi = sum, g = 1 and the coordinate maps are piecewise linear.
 The only iteration is a 1-D monotone root-find in mu, done as fixed-trip
 bisection + regula-falsi polish — branch-free, identical trip count across
-the whole bucket, pure VPU work.  This is what the Pallas kernel
-(`projection_pallas.py`) fuses into VMEM.
+the whole bucket, pure VPU work.  The Pallas kernel
+(`projection_pallas.py`) runs the identical math with the whole root-find
+fused in VMEM.
 
+Shapes: p, q, R, w, s, mask: (K, m);  gamma, logk0, k0: (m,);  out: (K, m).
 All functions are dtype-polymorphic (f32 on TPU, f64 for certification
-tests) and shape-polymorphic over leading batch dims via vmap.
+tests on CPU).
 """
 from __future__ import annotations
 
@@ -48,7 +51,6 @@ def _stable_quad_root(a, c):
     """Positive root of xi^2 - a*xi - c = 0 (c >= 0), cancellation-safe."""
     sq = jnp.sqrt(a * a + 4.0 * c)
     pos = 0.5 * (a + sq)
-    # for a < 0 the difference form avoids catastrophic cancellation
     neg = (2.0 * c) / jnp.maximum(sq - a, jnp.finfo(a.dtype).tiny)
     return jnp.where(a > 0, pos, neg)
 
@@ -62,45 +64,32 @@ def _xi_of_theta(p, q, Rp, gamma, theta):
     return Rp + gamma * jax.nn.relu(p + gamma * theta) - jax.nn.relu(q - theta)
 
 
-def _region_rep(p, q, gamma, pick1, pick2):
-    """Representative theta for the 3 monotone regions split by the two
-    clip breakpoints th1 = relu(-p/gamma) (D clips below), th2 = relu(q)
-    (L clips above).  pick1/pick2 booleans select region 1/2 (else 3)."""
-    th1 = jax.nn.relu(-p / gamma)
-    th2 = jax.nn.relu(q)
-    b1 = jnp.minimum(th1, th2)
-    b2 = jnp.maximum(th1, th2)
-    rep = jnp.where(pick1, 0.5 * b1, jnp.where(pick2, 0.5 * (b1 + b2), b2 + 1.0))
-    return rep, b1, b2
-
-
 def _inner_gm(p, q, Rp, gamma, t):
     """Solve xi = xi_of_theta(theta), theta = t / xi  (t >= 0) in closed form.
 
     Returns xi > 0 (for t > 0).  Exactly one clip-region is consistent; we
     find it by bracketing the root of G(theta) = theta*xi(theta) - t at the
-    clip breakpoints, then apply that region's quadratic formula.
+    clip breakpoints, then apply that region's quadratic formula:
+      A: both active   xi = Rp + gamma*p - q + (1+g^2) t/xi
+      B: L clipped     xi = Rp + gamma*p     + g^2     t/xi
+      C: D clipped     xi = Rp - q           +         t/xi
+      D: both clipped  xi = Rp
     """
     tiny = jnp.finfo(p.dtype).tiny
 
     def G(theta):
         return theta * _xi_of_theta(p, q, Rp, gamma, theta) - t
 
-    # region of the root
-    th1 = jax.nn.relu(-p / gamma)
-    th2 = jax.nn.relu(q)
+    th1 = jax.nn.relu(-p / gamma)  # D clips below this theta
+    th2 = jax.nn.relu(q)  # L clips above this theta
     b1 = jnp.minimum(th1, th2)
     b2 = jnp.maximum(th1, th2)
     in_r1 = G(b1) >= 0
     in_r2 = jnp.logical_and(~in_r1, G(b2) >= 0)
-    rep, _, _ = _region_rep(p, q, gamma, in_r1, in_r2)
+    rep = jnp.where(in_r1, 0.5 * b1, jnp.where(in_r2, 0.5 * (b1 + b2), b2 + 1.0))
 
     dclip = (p + gamma * rep) < 0
     lclip = (q - rep) < 0
-    #    case A: both active   xi = Rp + gamma*p - q + (1+g^2) t/xi
-    #    case B: L clipped     xi = Rp + gamma*p     + g^2     t/xi
-    #    case C: D clipped     xi = Rp - q           +         t/xi
-    #    case D: both clipped  xi = Rp
     a = jnp.where(
         dclip,
         jnp.where(lclip, Rp, Rp - q),
@@ -112,11 +101,10 @@ def _inner_gm(p, q, Rp, gamma, t):
         jnp.where(lclip, gamma * gamma, 1.0 + gamma * gamma),
     )
     xi = _stable_quad_root(a, bb * t)
-    # t == 0: theta = 0 exactly -> direct evaluation (quadratic form is wrong
-    # for a < 0 there)
+    # t == 0: theta = 0 exactly -> direct evaluation (the quadratic form is
+    # wrong there for a < 0)
     xi0 = _xi_of_theta(p, q, Rp, gamma, jnp.zeros_like(p))
-    xi = jnp.where(t > tiny, xi, xi0)
-    return xi
+    return jnp.where(t > tiny, xi, xi0)
 
 
 def _solve_theta_linear(p, q, Rp, gamma, target):
@@ -132,18 +120,14 @@ def _solve_theta_linear(p, q, Rp, gamma, target):
     b2 = jnp.maximum(th1, th2)
     in_r1 = _xi_of_theta(p, q, Rp, gamma, b1) >= target
     in_r2 = jnp.logical_and(~in_r1, _xi_of_theta(p, q, Rp, gamma, b2) >= target)
-    rep, _, _ = _region_rep(p, q, gamma, in_r1, in_r2)
+    rep = jnp.where(in_r1, 0.5 * b1, jnp.where(in_r2, 0.5 * (b1 + b2), b2 + 1.0))
     dclip = (p + gamma * rep) < 0
     lclip = (q - rep) < 0
     thA = (target - Rp - gamma * p + q) / (1.0 + g2)
     thB = (target - Rp - gamma * p) / g2
     thC = target - Rp + q
     thD = 0.5 * (th1 + th2)  # flat region: D = L = 0 regardless of theta
-    th = jnp.where(
-        dclip,
-        jnp.where(lclip, thD, thC),
-        jnp.where(lclip, thB, thA),
-    )
+    th = jnp.where(dclip, jnp.where(lclip, thD, thC), jnp.where(lclip, thB, thA))
     return jax.nn.relu(th)
 
 
@@ -152,15 +136,14 @@ def _dl_from_theta(p, q, gamma, theta):
 
 
 def _eval_gm(mu, p, q, Rp, gamma, w, k0, mask, s, needs_floor):
-    """Coordinate solve at multiplier mu; returns (D, L, xi, h).
+    """Coordinate solve at multiplier mu (m,); returns (D, L, xi, h).
 
-    h(mu) = sum_j w_j log xi_j - log k0, monotone nondecreasing in mu.
+    h(mu) = sum_slots w * log xi - log k0, monotone nondecreasing in mu.
     """
-    t = mu[..., None] * w * k0[..., None]
+    t = mu[None, :] * w * k0[None, :]
     xi = _inner_gm(p, q, Rp, gamma, t)
     theta = t / jnp.maximum(xi, jnp.finfo(p.dtype).tiny)
     if needs_floor:
-        # real reserve floor x = xi - s >= 0: clamp to xi == s where violated
         clamped = xi < s
         thf = _solve_theta_linear(p, q, Rp, gamma, s)
         theta = jnp.where(clamped, jnp.maximum(thf, theta), theta)
@@ -169,17 +152,17 @@ def _eval_gm(mu, p, q, Rp, gamma, w, k0, mask, s, needs_floor):
     D = D * mask
     L = L * mask
     logxi = jnp.log(jnp.maximum(xi, 1e-300 if xi.dtype == jnp.float64 else 1e-30))
-    h = jnp.sum(w * logxi, axis=-1)
+    h = jnp.sum(w * logxi, axis=0)
     return D, L, xi, h
 
 
 def _eval_cs(mu, p, q, R, gamma, mask, k0):
-    """Constant-sum coordinate solve: theta_j = mu on real slots.
+    """Constant-sum coordinate solve: theta = mu on real slots.
 
-    h(mu) = sum_j x_j - k0, monotone nondecreasing in mu.  The reserve
+    h(mu) = sum_slots x - k0, monotone nondecreasing in mu.  The reserve
     floor x >= 0 (reference ``arbitrage.py:74``) is clamped in closed form.
     """
-    theta = mu[..., None] * mask
+    theta = mu[None, :] * mask
     D, L = _dl_from_theta(p, q, gamma, theta)
     x = R + gamma * D - L
     clamped = x < 0
@@ -189,7 +172,7 @@ def _eval_cs(mu, p, q, R, gamma, mask, k0):
     D = D * mask
     L = L * mask
     x = jnp.maximum(R + gamma * D - L, 0.0) * mask
-    h = jnp.sum(x, axis=-1)
+    h = jnp.sum(x, axis=0)
     return D, L, x, h
 
 
@@ -237,30 +220,45 @@ def _root_find(h_of_mu, mu_hi, h_target, cfg: ProjectionConfig, dtype):
     return jnp.where(feasible0, zero, hi)
 
 
+def gm_mu_bracket(p, q, R, w, s, gamma, k0, mask, dtype):
+    """Upper bracket for the gm multiplier: big enough that every L clips
+    to 0, hence xi >= Rp and h >= log k0.  Sufficient per slot:
+    t >= max(2 q+ (Rp + gamma p+), 4 q+^2 gamma^2)."""
+    Rp = R + s
+    qp = jax.nn.relu(q) + 1e-3
+    need_t = jnp.maximum(
+        2.0 * qp * (Rp + gamma * jax.nn.relu(p)), 4.0 * qp * qp * gamma * gamma
+    )
+    w_safe = jnp.where(mask > 0, w, 1.0)
+    return (
+        4.0
+        * jnp.max(
+            jnp.where(
+                mask > 0,
+                need_t / (w_safe * jnp.maximum(k0[None, :], jnp.finfo(dtype).tiny)),
+                0.0,
+            ),
+            axis=0,
+        )
+        + 1.0
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("needs_floor", "cfg"))
 def project_gm(
     p, q, R, w, s, gamma, logk0, k0, mask,
     needs_floor: bool = False,
     cfg: ProjectionConfig = ProjectionConfig(),
 ):
-    """Project (p, q) onto geo-mean trading sets. All arrays (m, K) except
-    gamma (m, 1) and logk0/k0 (m,). Returns (D, L)."""
+    """Project (p, q) onto geo-mean trading sets.  Slot-major shapes:
+    p/q/R/w/s/mask (K, m); gamma/logk0/k0 (m,).  Returns (D, L) (K, m)."""
     Rp = R + s
     dtype = p.dtype
 
     def h_of_mu(mu):
         return _eval_gm(mu, p, q, Rp, gamma, w, k0, mask, s, needs_floor)[3]
 
-    # bracket: t_j big enough that every L_j clips to 0 => xi_j >= Rp_j
-    # => h >= log k0.  Sufficient: t >= max(2 q+ (Rp + gamma p+), 4 q+^2 g^2).
-    qp = jax.nn.relu(q) + 1e-3
-    need_t = jnp.maximum(2.0 * qp * (Rp + gamma * jax.nn.relu(p)), 4.0 * qp * qp * gamma * gamma)
-    w_safe = jnp.where(mask > 0, w, 1.0)
-    mu_hi = 4.0 * jnp.max(
-        jnp.where(mask > 0, need_t / (w_safe * jnp.maximum(k0[..., None], jnp.finfo(dtype).tiny)), 0.0),
-        axis=-1,
-    ) + 1.0
-
+    mu_hi = gm_mu_bracket(p, q, R, w, s, gamma, k0, mask, dtype)
     mu = _root_find(h_of_mu, mu_hi, logk0, cfg, dtype)
     D, L, _, _ = _eval_gm(mu, p, q, Rp, gamma, w, k0, mask, s, needs_floor)
     return D, L
@@ -272,14 +270,14 @@ def project_cs(
     cfg: ProjectionConfig = ProjectionConfig(),
 ):
     """Project (p, q) onto constant-sum trading sets (with reserve floor).
-    Arrays (m, K); gamma (m, 1); k0 (m,). Returns (D, L)."""
+    Slot-major shapes as in :func:`project_gm`.  Returns (D, L) (K, m)."""
     dtype = p.dtype
 
     def h_of_mu(mu):
         return _eval_cs(mu, p, q, R, gamma, mask, k0)[3]
 
-    # theta = mu >= max(q_j) clips every L to 0 -> sum x >= sum R = k0
-    mu_hi = jnp.max(jax.nn.relu(q) * mask, axis=-1) + 1.0
+    # theta = mu >= max(q) clips every L to 0 -> sum x >= sum R = k0
+    mu_hi = jnp.max(jax.nn.relu(q) * mask, axis=0) + 1.0
     mu = _root_find(h_of_mu, mu_hi, k0, cfg, dtype)
     D, L, _, _ = _eval_cs(mu, p, q, R, gamma, mask, k0)
     return D, L

@@ -55,25 +55,31 @@ class ShardedAdmmSolver:
         self.dtype = self.inner.dtype
         self.n = compiled.n_assets
 
+        # slot-major (K, m): the pool axis is axis 1
         bucket_specs = {
             name: dict(
-                R=P("pools", None), w=P("pools", None), s=P("pools", None),
-                gamma=P("pools", None), logk0=P("pools"), k0=P("pools"),
-                mask=P("pools", None), asset=P("pools", None),
+                R=P(None, "pools"), w=P(None, "pools"), s=P(None, "pools"),
+                gamma=P("pools"), logk0=P("pools"), k0=P("pools"),
+                mask=P(None, "pools"), asset=P(None, "pools"),
             )
             for name in compiled.buckets
         }
         out_specs = RouteResult(
             objective=P(), psi=P(), prices=P(),
-            deltas={n: P("pools", None) for n in compiled.buckets},
-            lambdas={n: P("pools", None) for n in compiled.buckets},
+            deltas={n: P(None, "pools") for n in compiled.buckets},
+            lambdas={n: P(None, "pools") for n in compiled.buckets},
             iters=P(), r_norm=P(), s_norm=P(), converged=P(),
         )
 
         def _sharded_solve(buckets, c, lo, hi, rho):
             # rebind the inner solver's device arrays to the local shards
+            # for the duration of the trace
+            saved = self.inner.buckets
             self.inner.buckets = buckets
-            return self.inner._solve_impl(c, lo, hi, rho)
+            try:
+                return self.inner._solve_impl(c, lo, hi, rho)
+            finally:
+                self.inner.buckets = saved
 
         self._solve_sharded = jax.jit(
             jax.shard_map(

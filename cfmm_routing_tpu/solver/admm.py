@@ -75,17 +75,18 @@ class RouteResult(NamedTuple):
 
 
 def _bucket_device_arrays(compiled: CompiledProblem, dtype):
+    """Slot-major (K, m) device copies: pools ride the 128-lane axis."""
     out = {}
     for name, b in compiled.buckets.items():
         out[name] = dict(
-            R=jnp.asarray(b.reserves, dtype),
-            w=jnp.asarray(b.weights, dtype),
-            s=jnp.asarray(b.shift, dtype),
-            gamma=jnp.asarray(b.gamma, dtype),
+            R=jnp.asarray(b.reserves.T, dtype),
+            w=jnp.asarray(b.weights.T, dtype),
+            s=jnp.asarray(b.shift.T, dtype),
+            gamma=jnp.asarray(b.gamma[:, 0], dtype),
             logk0=jnp.asarray(b.logk0, dtype),
             k0=jnp.asarray(b.k0, dtype),
-            mask=jnp.asarray(b.mask, dtype),
-            asset=jnp.asarray(b.asset, jnp.int32),
+            mask=jnp.asarray(b.mask.T, dtype),
+            asset=jnp.asarray(b.asset.T, jnp.int32),
         )
     return out
 
@@ -319,10 +320,10 @@ class AdmmSolver:
         deltas = [None] * self.compiled.n_pools
         lambdas = [None] * self.compiled.n_pools
         for name, b in self.compiled.buckets.items():
-            D = np.asarray(result.deltas[name])
+            D = np.asarray(result.deltas[name])  # (K, m) slot-major
             L = np.asarray(result.lambdas[name])
             for r, pid in enumerate(b.pool_ids):
                 k = self.compiled.spec.pools[pid].width
-                deltas[pid] = D[r, :k]
-                lambdas[pid] = L[r, :k]
+                deltas[pid] = D[:k, r]
+                lambdas[pid] = L[:k, r]
         return deltas, lambdas

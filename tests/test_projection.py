@@ -101,14 +101,14 @@ def test_project_gm_matches_scipy(seed, k):
 
     logk0 = float(np.sum(w * np.log(R)))
     D, L = project_gm(
-        jnp.asarray(p)[None], jnp.asarray(q)[None],
-        jnp.asarray(R)[None], jnp.asarray(w)[None], jnp.zeros((1, k)),
-        jnp.full((1, 1), gamma), jnp.asarray([logk0]),
-        jnp.asarray([np.exp(logk0)]), jnp.ones((1, k)),
+        jnp.asarray(p)[:, None], jnp.asarray(q)[:, None],
+        jnp.asarray(R)[:, None], jnp.asarray(w)[:, None], jnp.zeros((k, 1)),
+        jnp.full((1,), gamma), jnp.asarray([logk0]),
+        jnp.asarray([np.exp(logk0)]), jnp.ones((k, 1)),
         needs_floor=False, cfg=CFG,
     )
-    np.testing.assert_allclose(np.asarray(D[0]), D_ref, atol=5e-6)
-    np.testing.assert_allclose(np.asarray(L[0]), L_ref, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(D[:, 0]), D_ref, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(L[:, 0]), L_ref, atol=5e-6)
 
 
 @pytest.mark.parametrize("seed", range(6))
@@ -126,14 +126,14 @@ def test_project_gm_shifted_floor(seed):
 
     logk0 = float(np.sum(w * np.log(R + s)))
     D, L = project_gm(
-        jnp.asarray(p)[None], jnp.asarray(q)[None],
-        jnp.asarray(R)[None], jnp.asarray(w)[None], jnp.asarray(s)[None],
-        jnp.full((1, 1), gamma), jnp.asarray([logk0]),
-        jnp.asarray([np.exp(logk0)]), jnp.ones((1, k)),
+        jnp.asarray(p)[:, None], jnp.asarray(q)[:, None],
+        jnp.asarray(R)[:, None], jnp.asarray(w)[:, None], jnp.asarray(s)[:, None],
+        jnp.full((1,), gamma), jnp.asarray([logk0]),
+        jnp.asarray([np.exp(logk0)]), jnp.ones((k, 1)),
         needs_floor=True, cfg=CFG,
     )
-    np.testing.assert_allclose(np.asarray(D[0]), D_ref, atol=5e-6)
-    np.testing.assert_allclose(np.asarray(L[0]), L_ref, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(D[:, 0]), D_ref, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(L[:, 0]), L_ref, atol=5e-6)
 
 
 @pytest.mark.parametrize("seed", range(8))
@@ -147,12 +147,12 @@ def test_project_cs_matches_scipy(seed, k):
     D_ref, L_ref = _scipy_project_cs(p, q, R, gamma)
 
     D, L = project_cs(
-        jnp.asarray(p)[None], jnp.asarray(q)[None], jnp.asarray(R)[None],
-        jnp.full((1, 1), gamma), jnp.asarray([R.sum()]), jnp.ones((1, k)),
+        jnp.asarray(p)[:, None], jnp.asarray(q)[:, None], jnp.asarray(R)[:, None],
+        jnp.full((1,), gamma), jnp.asarray([R.sum()]), jnp.ones((k, 1)),
         cfg=CFG,
     )
-    np.testing.assert_allclose(np.asarray(D[0]), D_ref, atol=5e-6)
-    np.testing.assert_allclose(np.asarray(L[0]), L_ref, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(D[:, 0]), D_ref, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(L[:, 0]), L_ref, atol=5e-6)
 
 
 def test_feasible_point_is_fixed():
@@ -165,30 +165,30 @@ def test_feasible_point_is_fixed():
     q = np.array([0.1, 0.05])
     logk0 = float(np.sum(w * np.log(R)))
     D, L = project_gm(
-        jnp.asarray(p)[None], jnp.asarray(q)[None],
-        jnp.asarray(R)[None], jnp.asarray(w)[None], jnp.zeros((1, k)),
-        jnp.full((1, 1), 0.997), jnp.asarray([logk0]),
-        jnp.asarray([np.exp(logk0)]), jnp.ones((1, k)), cfg=CFG,
+        jnp.asarray(p)[:, None], jnp.asarray(q)[:, None],
+        jnp.asarray(R)[:, None], jnp.asarray(w)[:, None], jnp.zeros((k, 1)),
+        jnp.full((1,), 0.997), jnp.asarray([logk0]),
+        jnp.asarray([np.exp(logk0)]), jnp.ones((k, 1)), cfg=CFG,
     )
-    np.testing.assert_allclose(np.asarray(D[0]), p, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(L[0]), q, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(D[:, 0]), p, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(L[:, 0]), q, atol=1e-12)
 
 
 def test_padding_slots_stay_zero():
     """Padded slots (w=0, p=q=0) must produce exactly zero trades."""
-    R = np.array([[10.0, 10.0, 1.0, 1.0]])
-    w = np.array([[0.5, 0.5, 0.0, 0.0]])
-    mask = np.array([[1.0, 1.0, 0.0, 0.0]])
-    p = np.array([[3.0, -8.0, 0.0, 0.0]])
-    q = np.array([[1.0, 9.0, 0.0, 0.0]])
+    R = np.array([[10.0, 10.0, 1.0, 1.0]]).T
+    w = np.array([[0.5, 0.5, 0.0, 0.0]]).T
+    mask = np.array([[1.0, 1.0, 0.0, 0.0]]).T
+    p = np.array([[3.0, -8.0, 0.0, 0.0]]).T
+    q = np.array([[1.0, 9.0, 0.0, 0.0]]).T
     logk0 = np.array([np.log(10.0)])
     D, L = project_gm(
         jnp.asarray(p), jnp.asarray(q), jnp.asarray(R), jnp.asarray(w),
-        jnp.zeros((1, 4)), jnp.full((1, 1), 0.997), jnp.asarray(logk0),
+        jnp.zeros((4, 1)), jnp.full((1,), 0.997), jnp.asarray(logk0),
         jnp.exp(jnp.asarray(logk0)), jnp.asarray(mask), cfg=CFG,
     )
-    assert float(jnp.abs(D[0, 2:]).max()) == 0.0
-    assert float(jnp.abs(L[0, 2:]).max()) == 0.0
+    assert float(jnp.abs(D[2:, 0]).max()) == 0.0
+    assert float(jnp.abs(L[2:, 0]).max()) == 0.0
 
 
 def test_f32_projection_close_to_f64():
@@ -202,8 +202,9 @@ def test_f32_projection_close_to_f64():
     q = rng.uniform(-5, 5, size=(16, k))
     logk0 = np.sum(w * np.log(R), axis=1)
 
-    args64 = [jnp.asarray(a, jnp.float64) for a in (p, q, R, w, np.zeros_like(R), gamma, logk0, np.exp(logk0), np.ones_like(R))]
-    args32 = [jnp.asarray(a, jnp.float32) for a in (p, q, R, w, np.zeros_like(R), gamma, logk0, np.exp(logk0), np.ones_like(R))]
+    raw = (p.T, q.T, R.T, w.T, np.zeros_like(R.T), gamma[:, 0], logk0, np.exp(logk0), np.ones_like(R.T))
+    args64 = [jnp.asarray(a, jnp.float64) for a in raw]
+    args32 = [jnp.asarray(a, jnp.float32) for a in raw]
     D64, L64 = project_gm(*args64, cfg=CFG)
     D32, L32 = project_gm(*args32, cfg=CFG)
     np.testing.assert_allclose(np.asarray(D32), np.asarray(D64), atol=5e-4)
