@@ -62,8 +62,20 @@ def make_solver(
     return AdmmSolver(compiled, dtype=dtype, options=options or AdmmOptions())
 
 
-def _route_from(solver: AdmmSolver, res) -> Route:
+def _route_from(solver: AdmmSolver, res, obj: Objective, do_certify: bool) -> Route:
     deltas, lambdas = solver.unbucket(res)
+    cert = None
+    if do_certify:
+        from .solver.certify import certify as _certify
+
+        cert = _certify(
+            solver.compiled,
+            obj,
+            {k: np.asarray(v) for k, v in res.deltas.items()},
+            {k: np.asarray(v) for k, v in res.lambdas.items()},
+            np.asarray(res.prices),
+            psi_claimed=np.asarray(res.psi),
+        )
     return Route(
         objective=float(res.objective),
         psi=np.asarray(res.psi),
@@ -74,6 +86,7 @@ def _route_from(solver: AdmmSolver, res) -> Route:
         converged=bool(res.converged),
         r_norm=float(res.r_norm),
         s_norm=float(res.s_norm),
+        certificate=cert,
     )
 
 
@@ -81,12 +94,13 @@ def arbitrage(
     spec: ProblemSpec,
     market_values: Sequence[float],
     solver: Optional[AdmmSolver] = None,
+    certify: bool = False,
     **solver_kwargs,
 ) -> Route:
     """max market_value @ psi s.t. psi >= 0 (``arbitrage.py:57,77``)."""
     solver = solver or make_solver(spec, **solver_kwargs)
     obj = Objective.arbitrage(market_values)
-    return _route_from(solver, solver.solve(obj))
+    return _route_from(solver, solver.solve(obj), obj, certify)
 
 
 def liquidate(
@@ -94,13 +108,14 @@ def liquidate(
     holdings: Sequence[float],
     numeraire: int,
     solver: Optional[AdmmSolver] = None,
+    certify: bool = False,
     **solver_kwargs,
 ) -> Route:
     """Liquidate `holdings` entirely into asset `numeraire`
     (``liquidation.py:57,77-80``)."""
     solver = solver or make_solver(spec, **solver_kwargs)
     obj = Objective.liquidation(spec.n_assets, numeraire, holdings)
-    return _route_from(solver, solver.solve(obj))
+    return _route_from(solver, solver.solve(obj), obj, certify)
 
 
 def sweep(

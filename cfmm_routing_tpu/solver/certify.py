@@ -1,0 +1,252 @@
+"""Host-side f64 optimality certification: feasibility + rigorous dual bound.
+
+The reference gets certified optimality from ECOS's primal-dual interior
+point method (behind ``/root/reference/arbitrage.py:82``).  The ADMM solver
+produces an (approximately) feasible primal point AND per-asset dual prices
+``nu``; this module turns them into a *rigorous* optimality certificate
+without trusting the solver:
+
+Primal side (all in float64 on host):
+  * per-pool trading-set residuals  phi(R + g*D - L) >= phi(R)  and
+    D, L >= 0  (the projection outputs are feasible up to f32 roundoff);
+  * net-trade consistency  psi_hat = sum_i A_i (L_i - D_i)  recomputed
+    exactly and compared against the solver's psi;
+  * box residuals  lo <= psi_hat <= hi.
+
+Dual side: for ANY price vector nu >= 0 the Lagrangian bound
+
+    OPT <= sup_{lo<=psi<=hi} (c - nu)^T psi  +  sum_i sup_{(D,L) in T_i} nu^T A_i (L - D)
+
+holds.  The per-pool support term is the pool's best arbitrage profit at
+prices nu:
+
+  * constant-sum pools: closed form  sum_j R_j (nu_j - min_k nu_k/gamma)_+
+    (deposit the cheapest asset, withdraw everything priced above it);
+  * geo-mean pools: inner-dualize the phi constraint with multiplier
+    eta >= 0.  The coordinatewise maximizer of
+    ``profit(y) + eta * (sum_j w_j log y_j - log k0)`` is closed-form
+    (clip of eta*w_j/price_j), and the resulting bound is valid for EVERY
+    eta >= 0 — so a short bisection for the best eta can never invalidate
+    the certificate, only loosen it;
+  * both are capped by the universal drain bound  sum_j nu_j R_j
+    (y_j > 0 resp. x_j >= 0 implies  psi_j <= R_j).
+
+``nu`` is repaired before use so the box sup is finite: nu_j := max(nu_j, c_j)
+where hi_j = +inf, nu_j := c_j where the asset is unconstrained, nu_j >= 0
+everywhere.  The reported gap is therefore a TRUE bound on suboptimality
+regardless of how converged the ADMM iterate is.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..models.utility import Objective
+from .compiler import Bucket, CompiledProblem
+
+__all__ = ["Certificate", "certify"]
+
+_TINY = 1e-300
+_BISECT_ITERS = 80
+
+
+@dataclasses.dataclass
+class Certificate:
+    """Rigorous optimality certificate for a candidate routing."""
+
+    objective: float  # primal value c^T psi_hat (psi_hat recomputed in f64)
+    dual_bound: float  # valid upper bound on the true optimum
+    gap_abs: float  # dual_bound - objective  (>= true suboptimality)
+    gap_rel: float  # gap_abs / max(1, |objective|, |dual_bound|)
+    phi_violation: float  # max_i relative phi shortfall (log-domain for gm)
+    nonneg_violation: float  # max_i max(-D, -L)
+    floor_violation: float  # max_i (-(R + gD - L))_+ on floor-constrained pools
+    box_violation: float  # max_j distance of psi_hat from [lo, hi]
+    psi_consistency: float  # max_j |psi_solver - psi_hat|
+    prices: np.ndarray  # the repaired price vector the bound was evaluated at
+
+    @property
+    def feasibility(self) -> float:
+        return max(
+            self.phi_violation,
+            self.nonneg_violation,
+            self.floor_violation,
+            self.box_violation,
+        )
+
+    def summary(self) -> str:
+        return (
+            f"objective={self.objective:.9g}  dual_bound={self.dual_bound:.9g}  "
+            f"rel_gap={self.gap_rel:.3e}  feas={self.feasibility:.3e}"
+        )
+
+
+def _box_support(c: np.ndarray, nu: np.ndarray, lo: np.ndarray, hi: np.ndarray):
+    """sup_{lo<=psi<=hi} (c-nu)^T psi, with nu pre-repaired for finiteness."""
+    d = c - nu
+    lo_f = np.where(np.isfinite(lo), lo, 0.0)
+    hi_f = np.where(np.isfinite(hi), hi, 0.0)
+    # d <= 0 wherever hi = +inf and d >= 0 wherever lo = -inf (by repair),
+    # so the sup picks the finite endpoint there.
+    val = np.maximum(
+        np.where(np.isfinite(lo), d * lo_f, -np.inf),
+        np.where(np.isfinite(hi), d * hi_f, -np.inf),
+    )
+    # unconstrained assets have d == 0 exactly after repair
+    val = np.where(np.isfinite(val), val, 0.0)
+    return float(np.sum(val))
+
+
+def _repair_prices(
+    nu: np.ndarray, c: np.ndarray, lo: np.ndarray, hi: np.ndarray
+) -> np.ndarray:
+    nu = np.array(nu, dtype=np.float64, copy=True)
+    free = ~np.isfinite(lo) & ~np.isfinite(hi)
+    nu[free] = c[free]
+    up = ~np.isfinite(hi) & ~free
+    nu[up] = np.maximum(nu[up], c[up])
+    dn = ~np.isfinite(lo) & ~free
+    nu[dn] = np.minimum(nu[dn], c[dn])
+    return np.maximum(nu, 0.0)
+
+
+def _gm_bound(nu_s, R, w, s, gamma, logk0, mask):
+    """Per-pool arbitrage support bound for geo-mean pools.
+
+    nu_s, R, w, s, mask: (m, K);  gamma, logk0: (m,).  Returns (m,)."""
+    yR = R + s
+    nu_safe = np.where(mask > 0, np.maximum(nu_s, _TINY), 1.0)
+    g = gamma[:, None]
+    floor_y = s  # x >= 0  <=>  y >= s  (s == 0 for pure gm pools)
+
+    def eval_bound(eta):
+        e = eta[:, None]
+        y_w = e * w / nu_safe  # withdrawing-regime stationary point
+        y_d = g * y_w  # deposit-regime stationary point
+        y = np.where(y_w < yR, np.maximum(y_w, floor_y), np.where(y_d > yR, y_d, yR))
+        y = np.where(mask > 0, np.clip(y, _TINY, 1e300), 1.0)
+        h = np.sum(w * np.log(y), axis=1)
+        dy = yR - y
+        profit = np.where(
+            dy > 0, nu_safe * dy, (nu_safe / g) * dy
+        )
+        profit = np.sum(np.where(mask > 0, profit, 0.0), axis=1)
+        return profit + eta * (h - logk0), h
+
+    # bisect for the best multiplier: h(eta) is nondecreasing
+    hi = np.max(
+        np.where(mask > 0, nu_safe * yR / np.maximum(w, 1e-12), 0.0), axis=1
+    ) / np.minimum(gamma, 1.0) + 1.0
+    lo = np.zeros_like(hi)
+    for _ in range(_BISECT_ITERS):
+        mid = 0.5 * (lo + hi)
+        _, h = eval_bound(mid)
+        up_mask = h < logk0
+        lo = np.where(up_mask, mid, lo)
+        hi = np.where(up_mask, hi, mid)
+    b_lo, _ = eval_bound(np.maximum(lo, 1e-12))
+    b_hi, _ = eval_bound(hi)
+    drain = np.sum(np.where(mask > 0, nu_safe * R, 0.0), axis=1)
+    cand = np.minimum(np.minimum(b_lo, b_hi), drain)
+    return np.where(np.isfinite(cand), cand, drain)
+
+
+def _cs_bound(nu_s, R, gamma, mask):
+    """Closed-form constant-sum support:  sum_j R_j (nu_j - min_k nu_k/g)_+."""
+    nu_real = np.where(mask > 0, nu_s, np.inf)
+    cstar = np.min(nu_real, axis=1) / gamma
+    gain = np.maximum(nu_s - cstar[:, None], 0.0)
+    return np.sum(np.where(mask > 0, R * gain, 0.0), axis=1)
+
+
+def certify(
+    compiled: CompiledProblem,
+    objective: Objective,
+    deltas: Dict[str, np.ndarray],
+    lambdas: Dict[str, np.ndarray],
+    prices: np.ndarray,
+    psi_claimed: Optional[np.ndarray] = None,
+) -> Certificate:
+    """Certify a candidate routing.
+
+    deltas/lambdas: bucket name -> slot-major (K, m) arrays (RouteResult
+    layout).  prices: (n,) dual prices (RouteResult.prices).
+    """
+    n = compiled.n_assets
+    c = np.asarray(objective.c, np.float64)
+    lo = np.asarray(objective.lo, np.float64)
+    hi = np.asarray(objective.hi, np.float64)
+
+    psi_hat = np.zeros(n + 1)
+    phi_viol = 0.0
+    nneg_viol = 0.0
+    floor_viol = 0.0
+    nu = _repair_prices(np.asarray(prices, np.float64), c, lo, hi)
+    nu_ext = np.concatenate([nu, [0.0]])
+    dual_pools = 0.0
+
+    for name, b in compiled.buckets.items():
+        D = np.asarray(deltas[name], np.float64).T  # (m, K)
+        L = np.asarray(lambdas[name], np.float64).T
+        mask = b.mask
+        g = b.gamma[:, 0]
+        x = b.reserves + g[:, None] * D - L
+        nneg_viol = max(
+            nneg_viol,
+            float(np.max(np.maximum(-D, -L) * mask, initial=0.0)),
+        )
+        if b.kind == "gm":
+            y = np.where(mask > 0, np.maximum(x + b.shift, _TINY), 1.0)
+            h = np.sum(b.weights * np.log(y), axis=1)
+            phi_viol = max(phi_viol, float(np.max(b.logk0 - h, initial=0.0)))
+        else:
+            tot = np.sum(np.where(mask > 0, np.maximum(x, 0.0), 0.0), axis=1)
+            phi_viol = max(
+                phi_viol,
+                float(
+                    np.max(
+                        (b.k0 - tot) / np.maximum(b.k0, 1.0), initial=0.0
+                    )
+                ),
+            )
+        if b.needs_floor:
+            floor_viol = max(
+                floor_viol, float(np.max(-x * mask, initial=0.0))
+            )
+        np.add.at(psi_hat, b.asset.reshape(-1), ((L - D) * mask).reshape(-1))
+
+        nu_s = nu_ext[b.asset]
+        if b.kind == "gm":
+            dual_pools += float(
+                np.sum(_gm_bound(nu_s, b.reserves, b.weights, b.shift, g, b.logk0, mask))
+            )
+        else:
+            dual_pools += float(np.sum(_cs_bound(nu_s, b.reserves, g, mask)))
+
+    psi_hat = psi_hat[:n]
+    box_viol = float(
+        np.max(np.maximum(lo - psi_hat, psi_hat - hi).clip(min=0.0), initial=0.0)
+    )
+    consistency = (
+        float(np.max(np.abs(np.asarray(psi_claimed, np.float64) - psi_hat)))
+        if psi_claimed is not None
+        else 0.0
+    )
+
+    primal = float(c @ psi_hat)
+    dual = _box_support(c, nu, lo, hi) + dual_pools
+    gap = dual - primal
+    return Certificate(
+        objective=primal,
+        dual_bound=dual,
+        gap_abs=gap,
+        gap_rel=gap / max(1.0, abs(primal), abs(dual)),
+        phi_violation=phi_viol,
+        nonneg_violation=nneg_viol,
+        floor_violation=floor_viol,
+        box_violation=box_viol,
+        psi_consistency=consistency,
+        prices=nu,
+    )

@@ -1,0 +1,109 @@
+"""Certification (solver/certify.py): feasibility + rigorous dual bounds.
+
+The dual bound must be a TRUE upper bound on the optimum for ANY price
+vector — including prices from an unconverged solver — and must become
+tight (small relative gap) when the solver converges.  Ground truth is the
+scipy oracle (SURVEY.md §4(2)).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cfmm_routing_tpu import api
+from cfmm_routing_tpu.models.reference_instances import (
+    arbitrage_instance,
+    liquidation_instance,
+)
+from cfmm_routing_tpu.models.utility import Objective
+from cfmm_routing_tpu.oracle import oracle_solve
+from cfmm_routing_tpu.solver.admm import AdmmOptions, AdmmSolver
+from cfmm_routing_tpu.solver.certify import certify
+from cfmm_routing_tpu.solver.compiler import compile_spec
+from cfmm_routing_tpu.utils.synth import random_arbitrage
+
+TIGHT = AdmmOptions(max_iters=30000, eps_abs=1e-11, eps_rel=1e-11)
+
+
+def _certify_solve(spec, obj, opts):
+    solver = AdmmSolver(compile_spec(spec), dtype=jnp.float64, options=opts)
+    res = solver.solve(obj)
+    cert = certify(
+        solver.compiled,
+        obj,
+        {k: np.asarray(v) for k, v in res.deltas.items()},
+        {k: np.asarray(v) for k, v in res.lambdas.items()},
+        np.asarray(res.prices),
+        psi_claimed=np.asarray(res.psi),
+    )
+    return res, cert
+
+
+def test_arbitrage_certificate_tight():
+    spec, obj = arbitrage_instance()
+    res, cert = _certify_solve(spec, obj, TIGHT)
+    # primal value matches the pinned baseline and the gap brackets it
+    assert abs(cert.objective - 21.499805) / 21.499805 < 1e-6
+    assert cert.gap_abs >= -1e-9  # dual bound above primal
+    assert cert.gap_rel < 1e-6
+    assert cert.feasibility < 1e-8
+    assert cert.psi_consistency < 1e-9
+
+
+def test_liquidation_certificate_tight():
+    spec, obj = liquidation_instance()
+    res, cert = _certify_solve(spec, obj, TIGHT)
+    assert abs(cert.objective - 15.883010) / 15.883010 < 1e-6
+    assert cert.gap_rel < 1e-6
+    assert cert.feasibility < 1e-8
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_dual_bound_is_valid_even_unconverged(seed):
+    """An ADMM iterate stopped after only 30 iterations still yields a
+    certificate whose dual bound exceeds the TRUE optimum (oracle)."""
+    spec, obj = random_arbitrage(6, 12, seed=seed)
+    truth = oracle_solve(spec, obj).objective
+    _, cert = _certify_solve(
+        spec, obj, AdmmOptions(max_iters=30, eps_abs=1e-12, eps_rel=1e-12)
+    )
+    assert cert.dual_bound >= truth - 1e-7 * max(1.0, abs(truth))
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_certificate_brackets_oracle(seed):
+    """Converged certificate: primal <= oracle optimum <= dual bound."""
+    spec, obj = random_arbitrage(5, 10, seed=seed)
+    truth = oracle_solve(spec, obj).objective
+    _, cert = _certify_solve(spec, obj, TIGHT)
+    tol = 1e-6 * max(1.0, abs(truth))
+    assert cert.objective <= truth + tol
+    assert cert.dual_bound >= truth - tol
+    assert cert.gap_rel < 1e-4
+
+
+def test_zero_prices_bound_finite():
+    """Degenerate all-zero prices must fall back to the drain bound, not
+    inf/nan."""
+    spec, obj = arbitrage_instance()
+    solver = AdmmSolver(compile_spec(spec), dtype=jnp.float64, options=TIGHT)
+    res = solver.solve(obj)
+    cert = certify(
+        solver.compiled,
+        obj,
+        {k: np.asarray(v) for k, v in res.deltas.items()},
+        {k: np.asarray(v) for k, v in res.lambdas.items()},
+        np.zeros(spec.n_assets),
+    )
+    assert np.isfinite(cert.dual_bound)
+    assert cert.dual_bound >= 21.499805 - 1e-6  # still a valid upper bound
+
+
+def test_api_certify_flag():
+    spec, obj = arbitrage_instance()
+    route = api.arbitrage(
+        spec, obj.c, certify=True, dtype=jnp.float64, options=TIGHT
+    )
+    assert route.certificate is not None
+    assert route.certificate.gap_rel < 1e-6
+    assert "rel_gap" in route.certificate.summary()
