@@ -152,7 +152,7 @@ def sweep(
     for name, b in solver.compiled.buckets.items():
         # batched slot-major: (T, K, m) -> per pool (k, T)
         for r, pid in enumerate(b.pool_ids):
-            k = solver.compiled.spec.pools[pid].width
+            k = int(solver.compiled.widths[pid])
             per_pool[pid] = (lbat[name][:, :k, r] - dbat[name][:, :k, r]).T
     net = per_pool
 

@@ -58,6 +58,15 @@ class AdmmOptions:
     adapt_factor: float = 2.0
     adapt_ratio: float = 10.0
     projection: ProjectionConfig = ProjectionConfig()
+    # consensus-exchange strategy: how the per-slot gather of nu and the
+    # per-asset scatter-add ride the hardware.  XLA lowers gather/scatter
+    # on TPU to serialized updates (~3 ms for 262k slots); the one-hot
+    # einsum form is dense VPU/MXU work instead and wins for n <~ 1024.
+    #   'scatter' — jax.ops.segment_sum + fancy-index gather
+    #   'onehot'  — on-the-fly one-hot contraction, no gather/scatter ops
+    #   'auto'    — onehot when n_assets <= 1024 else scatter
+    consensus: str = "auto"
+    onehot_chunk: int = 512
 
 
 class RouteResult(NamedTuple):
@@ -75,9 +84,15 @@ class RouteResult(NamedTuple):
 
 
 def _bucket_device_arrays(compiled: CompiledProblem, dtype):
-    """Slot-major (K, m) device copies: pools ride the 128-lane axis."""
+    """Slot-major (K, m) device copies: pools ride the 128-lane axis.
+
+    Padding slots carry asset index 0 (not a dummy n-th row): every
+    consensus read/write is masked instead, which keeps the asset vectors
+    at exactly n lanes (256 assets = 2 full 128-lane registers, no +1
+    straggler lane forcing a 384-wide tile)."""
     out = {}
     for name, b in compiled.buckets.items():
+        asset = np.where(b.mask > 0, b.asset, 0).astype(np.int32)
         out[name] = dict(
             R=jnp.asarray(b.reserves.T, dtype),
             w=jnp.asarray(b.weights.T, dtype),
@@ -86,7 +101,7 @@ def _bucket_device_arrays(compiled: CompiledProblem, dtype):
             logk0=jnp.asarray(b.logk0, dtype),
             k0=jnp.asarray(b.k0, dtype),
             mask=jnp.asarray(b.mask.T, dtype),
-            asset=jnp.asarray(b.asset.T, jnp.int32),
+            asset=jnp.asarray(asset.T, jnp.int32),
         )
     return out
 
@@ -130,10 +145,10 @@ class AdmmSolver:
             name: (b.kind, b.needs_floor) for name, b in compiled.buckets.items()
         }
         deg = compiled.degree if degree_override is None else degree_override
-        self.degree = jnp.asarray(np.concatenate([deg, [0.0]]), dtype)
+        self.degree = jnp.asarray(deg, dtype)
         # cross-shard reduction: identity on one device; psum over the pool
         # mesh axis inside shard_map (parallel/sharded.py) — the ONLY
-        # cross-device communication per iteration is this (n+1)-vector
+        # cross-device communication per iteration is this n-vector
         # plus the 4 residual scalars (SURVEY.md §2).
         self.axis_name = axis_name
         if axis_name is None:
@@ -142,13 +157,61 @@ class AdmmSolver:
             self._psum = lambda x: jax.lax.psum(x, axis_name)
         self._segsum = segment_sum_fn or (
             lambda vals, idx: jax.ops.segment_sum(
-                vals.reshape(-1), idx.reshape(-1), num_segments=self.n + 1
+                vals.reshape(-1), idx.reshape(-1), num_segments=self.n
             )
         )
+        mode = options.consensus
+        if mode == "auto":
+            mode = "onehot" if self.n <= 1024 else "scatter"
+        self.consensus = mode
         self._solve_jit = jax.jit(self._solve_impl)
         self._solve_vmapped = jax.jit(
             jax.vmap(self._solve_impl, in_axes=(0, 0, 0, None))
         )
+
+    # ---- consensus exchange -------------------------------------------------
+    # The two permutation primitives of the iteration: broadcast the n-vector
+    # nu to every (pool, slot) edge, and reduce per-edge values back to the
+    # n-vector.  In 'onehot' mode both are dense contractions against an
+    # on-the-fly one-hot built from a compile-time id table — no XLA
+    # gather/scatter ops (which serialize on TPU) anywhere in the hot loop.
+
+    def _chunked(self, flat, fill):
+        """(E,) -> (E_pad/C, C), zero/fill-padded to a chunk multiple.
+
+        Derived from the traced array (not host constants) so the same code
+        works on local shards inside shard_map."""
+        C = self.options.onehot_chunk
+        E = flat.shape[0]
+        Ep = -(-E // C) * C
+        if Ep != E:
+            flat = jnp.concatenate(
+                [flat, jnp.full((Ep - E,), fill, flat.dtype)]
+            )
+        return flat.reshape(-1, C)
+
+    def _onehot(self, asset):
+        ids_c = self._chunked(asset.reshape(-1), 0)
+        iota = jnp.arange(self.n, dtype=jnp.int32)
+        return (ids_c[..., None] == iota).astype(self.dtype)
+
+    def _bcast_nu(self, nu, name):
+        arrs = self.buckets[name]
+        if self.consensus != "onehot":
+            return nu[arrs["asset"]] * arrs["mask"]
+        K, m = arrs["mask"].shape
+        oh = self._onehot(arrs["asset"])
+        out = jnp.einsum("bcn,n->bc", oh, nu).reshape(-1)[: K * m]
+        return out.reshape(K, m) * arrs["mask"]
+
+    def _reduce_edges(self, vals, name):
+        """sum_{slots with asset j} vals -> (n,).  vals must be pre-masked."""
+        arrs = self.buckets[name]
+        if self.consensus != "onehot":
+            return self._segsum(vals, arrs["asset"])
+        oh = self._onehot(arrs["asset"])
+        vals_c = self._chunked(vals.reshape(-1), 0.0)
+        return jnp.einsum("bc,bcn->n", vals_c, oh)
 
     # ---- single iteration ---------------------------------------------------
 
@@ -166,20 +229,24 @@ class AdmmSolver:
         )
 
     def _iterate(self, z, nu, rho, c, lo, hi):
-        """One ADMM iteration. Returns (z_new, nu_new, psi, w, stats)."""
+        """One ADMM iteration. Returns (z_new, nu_new, psi, w, stats).
+
+        z / w are dicts name -> (D, L) pairs of (K, m) arrays — two flat
+        slot-major planes, never a trailing length-2 axis (which would put
+        2 of 128 lanes to work on every elementwise op)."""
         alpha = jnp.asarray(self.options.alpha, self.dtype)
         w_hat = {}
         w_norm2 = jnp.zeros((), self.dtype)
-        yhat = jnp.zeros((self.n + 1,), self.dtype)
+        yhat = jnp.zeros((self.n,), self.dtype)
         for name, arrs in self.buckets.items():
-            nu_e = nu[arrs["asset"]]
-            zD, zL = z[name][..., 0], z[name][..., 1]
+            nu_e = self._bcast_nu(nu, name)
+            zD, zL = z[name]
             D, L = self._project(name, arrs, zD - nu_e, zL + nu_e)
             w_norm2 += jnp.sum(D * D) + jnp.sum(L * L)
             hD = alpha * D + (1.0 - alpha) * zD
             hL = alpha * L + (1.0 - alpha) * zL
             w_hat[name] = (D, L, hD, hL)
-            yhat = yhat + self._segsum(hL - hD, arrs["asset"])
+            yhat = yhat + self._reduce_edges(hL - hD, name)
 
         yhat = self._psum(yhat)
         s = yhat - 2.0 * self.degree * nu
@@ -194,18 +261,17 @@ class AdmmSolver:
         z_norm2 = jnp.zeros((), self.dtype)
         for name, arrs in self.buckets.items():
             D, L, hD, hL = w_hat[name]
-            dmu = (nu - mu)[arrs["asset"]]
+            dmu = self._bcast_nu(nu - mu, name)
             znD = hD + dmu
             znL = hL - dmu
-            zn = jnp.stack([znD, znL], axis=-1)
-            dz = zn - z[name]
-            s2 += jnp.sum(dz * dz)
+            zD, zL = z[name]
+            s2 += jnp.sum((znD - zD) ** 2) + jnp.sum((znL - zL) ** 2)
             rD = D - znD
             rL = L - znL
             r2 += jnp.sum(rD * rD) + jnp.sum(rL * rL)
-            z_norm2 += jnp.sum(zn * zn)
-            z_new[name] = zn
-            w_out[name] = jnp.stack([D, L], axis=-1)
+            z_norm2 += jnp.sum(znD * znD) + jnp.sum(znL * znL)
+            z_new[name] = (znD, znL)
+            w_out[name] = (D, L)
 
         # one packed psum for the four local partial sums (replicated
         # quantities like u_norm2 need no reduction)
@@ -226,15 +292,18 @@ class AdmmSolver:
             2 * int(np.prod(b["mask"].shape)) for b in self.buckets.values()
         )
         sqn = jnp.asarray(np.sqrt(n_edges), self.dtype)
-        c = jnp.concatenate([c.astype(self.dtype), jnp.zeros((1,), self.dtype)])
-        lo = jnp.concatenate([lo.astype(self.dtype), jnp.zeros((1,), self.dtype)])
-        hi = jnp.concatenate([hi.astype(self.dtype), jnp.zeros((1,), self.dtype)])
+        c = c.astype(self.dtype)
+        lo = lo.astype(self.dtype)
+        hi = hi.astype(self.dtype)
 
         z0 = {
-            name: jnp.zeros(arrs["mask"].shape + (2,), self.dtype)
+            name: (
+                jnp.zeros(arrs["mask"].shape, self.dtype),
+                jnp.zeros(arrs["mask"].shape, self.dtype),
+            )
             for name, arrs in self.buckets.items()
         }
-        nu0 = jnp.zeros((self.n + 1,), self.dtype)
+        nu0 = jnp.zeros((self.n,), self.dtype)
 
         def cond(state):
             k, _, _, rho, r, s, eps_pri, eps_dua, _, _ = state
@@ -266,12 +335,15 @@ class AdmmSolver:
             return (k + 1, z, nu, rho, r, sd, eps_pri, eps_dua, psi, w)
 
         big = jnp.asarray(jnp.inf, self.dtype)
-        w0 = {name: jnp.zeros_like(z) for name, z in z0.items()}
+        w0 = {
+            name: (jnp.zeros_like(zD), jnp.zeros_like(zL))
+            for name, (zD, zL) in z0.items()
+        }
         state0 = (
             jnp.zeros((), jnp.int32), z0, nu0,
             jnp.asarray(rho0, self.dtype), big, big,
             jnp.zeros((), self.dtype), jnp.zeros((), self.dtype),
-            jnp.zeros((self.n + 1,), self.dtype), w0,
+            jnp.zeros((self.n,), self.dtype), w0,
         )
         k, z, nu, rho, r, sd, eps_pri, eps_dua, psi, w = jax.lax.while_loop(
             cond, body, state0
@@ -279,15 +351,15 @@ class AdmmSolver:
 
         # primal variables from the last iteration's projection (exactly
         # feasible per pool — each (D, L) lies in its trading set)
-        deltas = {name: w[name][..., 0] for name in self.buckets}
-        lambdas = {name: w[name][..., 1] for name in self.buckets}
+        deltas = {name: w[name][0] for name in self.buckets}
+        lambdas = {name: w[name][1] for name in self.buckets}
 
-        obj = jnp.sum(c[: self.n] * psi[: self.n])
+        obj = jnp.sum(c * psi)
         converged = jnp.logical_and(r <= eps_pri, sd <= eps_dua)
         return RouteResult(
             objective=obj,
-            psi=psi[: self.n],
-            prices=(rho * nu)[: self.n],
+            psi=psi,
+            prices=rho * nu,
             deltas=deltas,
             lambdas=lambdas,
             iters=k,
@@ -323,7 +395,7 @@ class AdmmSolver:
             D = np.asarray(result.deltas[name])  # (K, m) slot-major
             L = np.asarray(result.lambdas[name])
             for r, pid in enumerate(b.pool_ids):
-                k = self.compiled.spec.pools[pid].width
+                k = int(self.compiled.widths[pid])
                 deltas[pid] = D[:k, r]
                 lambdas[pid] = L[:k, r]
         return deltas, lambdas
