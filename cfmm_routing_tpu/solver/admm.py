@@ -125,6 +125,12 @@ class AdmmSolver:
     ):
         self.compiled = compiled
         self.dtype = jnp.dtype(dtype)
+        if self.dtype == jnp.float64 and not jax.config.jax_enable_x64:
+            raise ValueError(
+                "float64 AdmmSolver requires jax_enable_x64 — without it JAX "
+                "silently truncates every array to f32 and tight tolerances "
+                "become unreachable.  jax.config.update('jax_enable_x64', True)"
+            )
         # v5e-class TPUs have no native f64; the remote-compile path hangs
         # rather than erroring on f64 programs.  Certification-grade f64
         # solves belong on the CPU backend (tests / refine stage).

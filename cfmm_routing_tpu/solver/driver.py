@@ -1,0 +1,258 @@
+"""Chunked solve driver: observability + checkpoint/resume for long solves.
+
+The reference has no tracing, no metrics, no checkpointing (SURVEY.md §5 —
+``prob.solve()`` is an opaque call).  For production 100k-pool runs this
+driver executes the ADMM in fixed-size device chunks (K iterations per
+dispatch, no host round-trip inside a chunk) and, between chunks, on host:
+
+  * appends a structured residual record (iteration, primal/dual residual,
+    tolerances, rho, objective) — the per-phase iteration log promised in
+    SURVEY.md §5 "Metrics";
+  * optionally invokes a user callback (live monitoring);
+  * optionally checkpoints solver state (orbax if available, .npz
+    fallback) so a preempted run resumes exactly where it stopped;
+  * stops on convergence, divergence (NaN), or the iteration budget.
+
+The chunk body is one jit-compiled program reused across chunks and across
+solves on the same problem structure.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.utility import Objective
+from .admm import AdmmSolver, RouteResult
+
+__all__ = ["ChunkRecord", "ChunkedDriver", "SolveLog"]
+
+
+@dataclasses.dataclass
+class ChunkRecord:
+    """One structured log record per chunk (SURVEY.md §5 metrics)."""
+
+    iteration: int
+    r_norm: float
+    s_norm: float
+    eps_pri: float
+    eps_dua: float
+    rho: float
+    objective: float
+
+    def as_dict(self) -> Dict[str, float]:
+        return dataclasses.asdict(self)
+
+
+class SolveLog:
+    """Append-only residual history with CSV export.
+
+    ``status`` after a solve is one of 'converged' | 'max_iters' |
+    'stalled' | 'diverged' (SURVEY.md §5 — the reference's prob.solve()
+    either succeeds or raises; production runs need the distinction)."""
+
+    def __init__(self):
+        self.records: List[ChunkRecord] = []
+        self.status: str = "pending"
+
+    def append(self, rec: ChunkRecord) -> None:
+        self.records.append(rec)
+
+    def to_csv(self, path: str) -> None:
+        import csv
+
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(
+                f,
+                fieldnames=[
+                    "iteration", "r_norm", "s_norm", "eps_pri", "eps_dua",
+                    "rho", "objective",
+                ],
+            )
+            w.writeheader()
+            for r in self.records:
+                w.writerow(r.as_dict())
+
+    def __len__(self):
+        return len(self.records)
+
+
+def _save_state(path: str, state) -> None:
+    flat, treedef = jax.tree_util.tree_flatten(state)
+    try:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.abspath(path), [np.asarray(x) for x in flat], force=True)
+    except Exception:
+        np.savez(path + ".npz", *[np.asarray(x) for x in flat])
+
+
+def _load_state(path: str, like):
+    flat_like, treedef = jax.tree_util.tree_flatten(like)
+    if os.path.exists(path + ".npz"):
+        data = np.load(path + ".npz")
+        flat = [data[k] for k in data.files]
+    else:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        flat = ckptr.restore(os.path.abspath(path))
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(x, l.dtype) for x, l in zip(flat, flat_like)]
+    )
+
+
+class ChunkedDriver:
+    """Host-side orchestration around an :class:`AdmmSolver`."""
+
+    def __init__(self, solver: AdmmSolver, chunk: int = 200):
+        self.solver = solver
+        self.chunk = int(chunk)
+        self._chunk_jit = jax.jit(self._run_chunk)
+
+    # one device dispatch = `chunk` ADMM iterations + residual summary
+    def _run_chunk(self, z, nu, rho, c, lo, hi):
+        sol = self.solver
+
+        def body(i, st):
+            z, nu, rho, _, _, _, _, _, _ = st
+            z, nu, psi, w, stats = sol._iterate(z, nu, rho, c, lo, hi)
+            return (z, nu, rho, stats["r2"], stats["s2"], stats["w_norm2"],
+                    stats["z_norm2"], stats["u_norm2"], psi)
+
+        zero = jnp.zeros((), sol.dtype)
+        st = (z, nu, rho, zero, zero, zero, zero, zero,
+              jnp.zeros((sol.n,), sol.dtype))
+        z, nu, rho, r2, s2, w2, z2, u2, psi = jax.lax.fori_loop(
+            0, self.chunk, body, st
+        )
+        obj = jnp.sum(c * psi)
+        return z, nu, r2, s2, w2, z2, u2, psi, obj
+
+    def solve(
+        self,
+        objective: Objective,
+        max_iters: int = 20000,
+        rho: Optional[float] = None,
+        log: Optional[SolveLog] = None,
+        callback: Optional[Callable[[ChunkRecord], None]] = None,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 1,
+        resume: bool = False,
+    ):
+        """Run until convergence / budget.  Returns (RouteResult, SolveLog)."""
+        sol = self.solver
+        opts = sol.options
+        dtype = sol.dtype
+        c = jnp.asarray(objective.c, dtype)
+        lo = jnp.asarray(np.maximum(objective.lo, -np.finfo(np.float32).max / 4), dtype)
+        hi = jnp.asarray(np.minimum(objective.hi, np.finfo(np.float32).max / 4), dtype)
+
+        z = {
+            name: (
+                jnp.zeros(arrs["mask"].shape, dtype),
+                jnp.zeros(arrs["mask"].shape, dtype),
+            )
+            for name, arrs in sol.buckets.items()
+        }
+        nu = jnp.zeros((sol.n,), dtype)
+        rho_v = jnp.asarray(rho if rho is not None else opts.rho, dtype)
+        it0 = 0
+        if resume and checkpoint_path is not None:
+            state = _load_state(checkpoint_path, (z, nu, rho_v, jnp.zeros((), jnp.int32)))
+            z, nu, rho_v, it_arr = state
+            it0 = int(it_arr)
+
+        n_edges = sum(
+            2 * int(np.prod(b["mask"].shape)) for b in sol.buckets.values()
+        )
+        sqn = float(np.sqrt(n_edges))
+        log = log if log is not None else SolveLog()
+
+        it = it0
+        converged = False
+        status = "max_iters"
+        r = s = eps_pri = eps_dua = float("nan")
+        psi = jnp.zeros((sol.n,), dtype)
+        obj = jnp.zeros((), dtype)
+        best_score = float("inf")
+        best_chunk = 0
+        stall_chunks = 12  # no 30% residual progress in this many chunks
+        while it < max_iters:
+            z, nu, r2, s2, w2, z2, u2, psi, obj = self._chunk_jit(
+                z, nu, rho_v, c, lo, hi
+            )
+            it += self.chunk
+            r = float(jnp.sqrt(r2))
+            s = float(jnp.sqrt(s2)) * float(rho_v)
+            eps_pri = opts.eps_abs * sqn + opts.eps_rel * float(
+                np.sqrt(max(float(w2), float(z2)))
+            )
+            eps_dua = opts.eps_abs * sqn + opts.eps_rel * float(
+                np.sqrt(float(u2))
+            ) * float(rho_v)
+            rec = ChunkRecord(
+                iteration=it, r_norm=r, s_norm=s, eps_pri=eps_pri,
+                eps_dua=eps_dua, rho=float(rho_v), objective=float(obj),
+            )
+            log.append(rec)
+            if callback is not None:
+                callback(rec)
+            if checkpoint_path is not None and (len(log) % checkpoint_every == 0):
+                _save_state(
+                    checkpoint_path,
+                    (z, nu, rho_v, jnp.asarray(it, jnp.int32)),
+                )
+            if not np.isfinite(r):
+                status = "diverged"
+                break
+            if r <= eps_pri and s <= eps_dua:
+                converged = True
+                status = "converged"
+                break
+            # stall detection (SURVEY.md §5 failure detection): an f32 run
+            # asked for f64-grade tolerances will cycle at its noise floor
+            # forever — stop and report instead of burning the budget.
+            score = max(r / max(eps_pri, 1e-300), s / max(eps_dua, 1e-300))
+            if score < 0.7 * best_score:
+                best_score = score
+                best_chunk = len(log)
+            elif len(log) - best_chunk >= stall_chunks:
+                status = "stalled"
+                break
+            # residual-balancing rho adaptation between chunks (host-side
+            # twin of the in-loop rule in admm._solve_impl)
+            if opts.adapt_rho:
+                if r > opts.adapt_ratio * s:
+                    rho_v = rho_v * opts.adapt_factor
+                    nu = nu / opts.adapt_factor
+                elif s > opts.adapt_ratio * r:
+                    rho_v = rho_v / opts.adapt_factor
+                    nu = nu * opts.adapt_factor
+
+        # final projection pass for exactly-feasible primal variables
+        w_out = {}
+        for name, arrs in sol.buckets.items():
+            nu_e = sol._bcast_nu(nu, name)
+            zD, zL = z[name]
+            D, L = sol._project(name, arrs, zD - nu_e, zL + nu_e)
+            w_out[name] = (D, L)
+
+        result = RouteResult(
+            objective=obj,
+            psi=psi,
+            prices=rho_v * nu,
+            deltas={name: w_out[name][0] for name in sol.buckets},
+            lambdas={name: w_out[name][1] for name in sol.buckets},
+            iters=jnp.asarray(it, jnp.int32),
+            r_norm=jnp.asarray(r, dtype),
+            s_norm=jnp.asarray(s, dtype),
+            converged=jnp.asarray(converged),
+        )
+        log.status = status
+        return result, log

@@ -1,0 +1,119 @@
+"""Chunked driver: residual observability, checkpoint/resume (SURVEY.md §5)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cfmm_routing_tpu.models.reference_instances import arbitrage_instance
+from cfmm_routing_tpu.solver.admm import AdmmOptions, AdmmSolver
+from cfmm_routing_tpu.solver.compiler import compile_spec
+from cfmm_routing_tpu.solver.driver import ChunkedDriver, SolveLog
+
+OPTS = AdmmOptions(max_iters=30000, eps_abs=1e-10, eps_rel=1e-10)
+
+
+def _solver():
+    spec, obj = arbitrage_instance()
+    return AdmmSolver(compile_spec(spec), dtype=jnp.float64, options=OPTS), obj
+
+
+def test_chunked_matches_whileloop():
+    solver, obj = _solver()
+    res_w = solver.solve(obj)
+    driver = ChunkedDriver(solver, chunk=100)
+    res_c, log = driver.solve(obj, max_iters=30000)
+    assert bool(res_c.converged)
+    np.testing.assert_allclose(
+        float(res_c.objective), float(res_w.objective), rtol=1e-7
+    )
+    # structured log: iterations advance by chunk, residuals reach tolerance
+    assert len(log) >= 1
+    its = [r.iteration for r in log.records]
+    assert its == sorted(its)
+    last = log.records[-1]
+    assert last.r_norm <= last.eps_pri and last.s_norm <= last.eps_dua
+
+
+def test_log_csv_and_callback(tmp_path):
+    solver, obj = _solver()
+    driver = ChunkedDriver(solver, chunk=50)
+    seen = []
+    res, log = driver.solve(obj, max_iters=500, callback=seen.append)
+    assert len(seen) == len(log.records)
+    path = tmp_path / "log.csv"
+    log.to_csv(str(path))
+    lines = path.read_text().strip().splitlines()
+    assert lines[0].startswith("iteration,")
+    assert len(lines) == len(log) + 1
+
+
+def test_checkpoint_resume(tmp_path):
+    solver, obj = _solver()
+    ck = str(tmp_path / "state")
+
+    # run A: stop early (budget), checkpointing every chunk
+    driver_a = ChunkedDriver(solver, chunk=100)
+    res_a, _ = driver_a.solve(obj, max_iters=200, checkpoint_path=ck)
+    assert not bool(res_a.converged)
+
+    # run B: resume from the checkpoint and finish
+    driver_b = ChunkedDriver(solver, chunk=100)
+    res_b, log_b = driver_b.solve(
+        obj, max_iters=30000, checkpoint_path=ck, resume=True
+    )
+    assert bool(res_b.converged)
+    # resumed iteration counter continues past the checkpoint
+    assert log_b.records[0].iteration > 200 - 100 + 1
+
+    # uninterrupted reference
+    res_ref, _ = ChunkedDriver(solver, chunk=100).solve(obj, max_iters=30000)
+    np.testing.assert_allclose(
+        float(res_b.objective), float(res_ref.objective), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(res_b.objective), 21.499805, rtol=1e-5
+    )
+
+
+def test_f32_stall_detection():
+    """f32 solve with f64-grade tolerances must stop with 'stalled', not
+    burn the whole budget cycling at its noise floor."""
+    spec, obj = arbitrage_instance()
+    solver = AdmmSolver(compile_spec(spec), dtype=jnp.float32, options=OPTS)
+    driver = ChunkedDriver(solver, chunk=100)
+    res, log = driver.solve(obj, max_iters=100000)
+    assert log.status == "stalled"
+    assert not bool(res.converged)
+    # the stalled answer is still the right answer to f32 accuracy
+    np.testing.assert_allclose(float(res.objective), 21.499805, rtol=1e-4)
+    # and it stopped well before the budget
+    assert int(res.iters) < 10000
+
+
+def test_f64_requires_x64_guard(monkeypatch):
+    import jax
+
+    spec, obj = arbitrage_instance()
+    compiled = compile_spec(spec)
+    jax.config.update("jax_enable_x64", False)
+    try:
+        with pytest.raises(ValueError, match="jax_enable_x64"):
+            AdmmSolver(compiled, dtype=jnp.float64, options=OPTS)
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+def test_route_feasible_after_chunked():
+    solver, obj = _solver()
+    res, _ = ChunkedDriver(solver, chunk=100).solve(obj, max_iters=30000)
+    deltas, lambdas = solver.unbucket(res)
+    spec = solver.compiled.spec
+    for pool, D, L in zip(spec.pools, deltas, lambdas):
+        assert (D >= -1e-12).all() and (L >= -1e-12).all()
+        newR = pool.reserves + pool.fee * D - L
+        if pool.kind == "gm":
+            phi0 = np.sum(pool.weights * np.log(pool.reserves + pool.shift))
+            phi1 = np.sum(pool.weights * np.log(newR + pool.shift))
+            assert phi1 >= phi0 - 1e-9
+        else:
+            assert newR.sum() >= pool.reserves.sum() - 1e-9
