@@ -14,7 +14,33 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-__all__ = ["pool_mesh", "pool_batch_mesh"]
+__all__ = ["pool_mesh", "pool_batch_mesh", "init_distributed"]
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host entry: initialize jax.distributed and return process count.
+
+    On a multi-host TPU slice the runtime usually auto-detects everything
+    (call with no args); explicit args cover DCN clusters without TPU
+    metadata.  Safe to call when already initialized or single-host (both
+    no-ops).  After this, ``pool_mesh()`` sees every device in the slice
+    and ``ShardedAdmmSolver`` programs run SPMD across hosts — pools
+    partitioned globally, the per-iteration n-vector psum riding ICI
+    within a slice and DCN across them (SURVEY.md §5).
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # already initialized, or single-process environment
+    return jax.process_count()
 
 
 def pool_mesh(n_devices: Optional[int] = None, devices=None, platform=None) -> Mesh:
