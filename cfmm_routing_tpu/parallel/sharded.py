@@ -91,6 +91,39 @@ class ShardedAdmmSolver:
             )
         )
 
+        if self.batch_axis:
+            # 2-D parallelism: scenario batch (outer, independent solves)
+            # x pools (inner, psum-coupled).  Each device runs B/D_batch
+            # vmapped solves over its m/D_pools pool shard.
+            def _sharded_solve_batch(buckets, c, lo, hi, rho):
+                saved = self.inner.buckets
+                self.inner.buckets = buckets
+                try:
+                    return jax.vmap(
+                        self.inner._solve_impl, in_axes=(0, 0, 0, None)
+                    )(c, lo, hi, rho)
+                finally:
+                    self.inner.buckets = saved
+
+            batch_out = RouteResult(
+                objective=P("batch"), psi=P("batch"), prices=P("batch"),
+                deltas={n_: P("batch", None, "pools") for n_ in compiled.buckets},
+                lambdas={n_: P("batch", None, "pools") for n_ in compiled.buckets},
+                iters=P("batch"), r_norm=P("batch"), s_norm=P("batch"),
+                converged=P("batch"),
+            )
+            self._solve_sharded_batch = jax.jit(
+                jax.shard_map(
+                    _sharded_solve_batch,
+                    mesh=mesh,
+                    in_specs=(
+                        bucket_specs, P("batch"), P("batch"), P("batch"), P(),
+                    ),
+                    out_specs=batch_out,
+                    check_vma=False,
+                )
+            )
+
         # place bucket arrays according to their specs once
         self.buckets_device = jax.device_put(
             self.inner.buckets,
@@ -115,6 +148,23 @@ class ShardedAdmmSolver:
             rho if rho is not None else self.inner.options.rho, self.dtype
         )
         return self._solve_sharded(self.buckets_device, c, lo, hi, rho)
+
+    def solve_batch(self, c, lo, hi, rho: Optional[float] = None) -> RouteResult:
+        """Batched sharded solve: (B, n) objectives over the 2-D mesh.
+
+        B must divide by the mesh's batch extent.  The reference's 50-point
+        sweep (``two-asset.py:40``) runs as one such call with the grid
+        sharded across devices."""
+        if not self.batch_axis:
+            raise ValueError("mesh has no 'batch' axis; use pool_batch_mesh")
+        dt = self.dtype
+        return self._solve_sharded_batch(
+            self.buckets_device,
+            jnp.asarray(c, dt),
+            jnp.asarray(np.maximum(lo, -np.finfo(np.float32).max / 4), dt),
+            jnp.asarray(np.minimum(hi, np.finfo(np.float32).max / 4), dt),
+            jnp.asarray(rho if rho is not None else self.inner.options.rho, dt),
+        )
 
     def unbucket(self, result: RouteResult):
         return self.inner.unbucket(result)

@@ -1,0 +1,55 @@
+"""2-D (batch x pools) sharded solves vs single-device batched solves."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cfmm_routing_tpu.models.reference_instances import two_asset_instance
+from cfmm_routing_tpu.parallel.mesh import pool_batch_mesh
+from cfmm_routing_tpu.parallel.sharded import ShardedAdmmSolver
+from cfmm_routing_tpu.solver.admm import AdmmOptions, AdmmSolver
+from cfmm_routing_tpu.solver.compiler import compile_spec
+
+OPTS = AdmmOptions(max_iters=4000, eps_abs=1e-8, eps_rel=1e-8)
+
+
+def test_batch_sharded_sweep_matches_single_device():
+    spec, _ = two_asset_instance()
+    n = spec.n_assets
+    B = 8
+    amounts = np.linspace(0.0, 25.0, B)
+    c = np.zeros((B, n))
+    c[:, 2] = 1.0
+    lo = np.zeros((B, n))
+    lo[:, 0] = -amounts
+    hi = np.full((B, n), np.finfo(np.float32).max / 4)
+
+    mesh = pool_batch_mesh(pools=2, batch=4, platform="cpu")
+    sharded = ShardedAdmmSolver(spec, mesh, dtype=jnp.float64, options=OPTS)
+    res_s = sharded.solve_batch(c, lo, hi)
+
+    single = AdmmSolver(compile_spec(spec), dtype=jnp.float64, options=OPTS)
+    res_1 = single.solve_batch(c, lo, hi)
+
+    assert np.asarray(res_s.converged).all()
+    np.testing.assert_allclose(
+        np.asarray(res_s.objective), np.asarray(res_1.objective), rtol=1e-6
+    )
+    # u(t) is nondecreasing along the grid and matches the pinned value
+    u = np.asarray(res_s.objective)
+    assert np.all(np.diff(u) > -1e-6)
+    np.testing.assert_allclose(u[-1], 31.005495, rtol=1e-4)
+
+
+def test_batch_mesh_requires_batch_axis():
+    from cfmm_routing_tpu.parallel.mesh import pool_mesh
+
+    spec, _ = two_asset_instance()
+    sharded = ShardedAdmmSolver(
+        spec, pool_mesh(2, platform="cpu"), dtype=jnp.float64, options=OPTS
+    )
+    with pytest.raises(ValueError, match="batch"):
+        sharded.solve_batch(
+            np.zeros((2, 3)), np.zeros((2, 3)), np.ones((2, 3))
+        )
