@@ -1,0 +1,55 @@
+"""tpu-cfmm-router: TPU-native CFMM optimal-routing framework.
+
+Public surface:
+
+    from cfmm_routing_tpu import api                      # workloads
+    from cfmm_routing_tpu import ProblemSpec, PoolTable   # problems
+    from cfmm_routing_tpu import AdmmSolver, AdmmOptions  # solver
+    from cfmm_routing_tpu import ChunkedDriver            # long runs
+    from cfmm_routing_tpu import certify                  # certificates
+
+See README.md for the architecture map and examples/ for runnable
+mirrors of the reference scripts.
+"""
+from .models.pools import (  # noqa: F401
+    BoundedProductPool,
+    ConstantSumPool,
+    GeoMeanPool,
+    Pool,
+    ProductPool,
+)
+from .models.utility import Objective  # noqa: F401
+from .solver.admm import AdmmOptions, AdmmSolver, RouteResult  # noqa: F401
+from .solver.certify import Certificate, certify  # noqa: F401
+from .solver.compiler import (  # noqa: F401
+    CompiledProblem,
+    PoolTable,
+    ProblemSpec,
+    compile_spec,
+    compile_table,
+)
+from .solver.driver import ChunkedDriver, SolveLog  # noqa: F401
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AdmmOptions",
+    "AdmmSolver",
+    "BoundedProductPool",
+    "Certificate",
+    "ChunkedDriver",
+    "CompiledProblem",
+    "ConstantSumPool",
+    "GeoMeanPool",
+    "Objective",
+    "Pool",
+    "PoolTable",
+    "ProblemSpec",
+    "ProductPool",
+    "RouteResult",
+    "SolveLog",
+    "certify",
+    "compile_spec",
+    "compile_table",
+    "__version__",
+]
