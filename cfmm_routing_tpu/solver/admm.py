@@ -64,7 +64,10 @@ class AdmmOptions:
     # einsum form is dense VPU/MXU work instead and wins for n <~ 1024.
     #   'scatter' — jax.ops.segment_sum + fancy-index gather
     #   'onehot'  — on-the-fly one-hot contraction, no gather/scatter ops
-    #   'auto'    — onehot when n_assets <= 1024 else scatter
+    #   'radix'   — two-level one-hot (lane-aligned 128-radix low digit +
+    #               high digit), applies ride the MXU: VPU cost scales as
+    #               E*(128 + n/128) instead of E*n — the large-n mode
+    #   'auto'    — onehot for n_assets <= 512, radix above
     consensus: str = "auto"
     onehot_chunk: int = 512
 
@@ -168,7 +171,7 @@ class AdmmSolver:
         )
         mode = options.consensus
         if mode == "auto":
-            mode = "onehot" if self.n <= 1024 else "scatter"
+            mode = "onehot" if self.n <= 512 else "radix"
         self.consensus = mode
         self._solve_jit = jax.jit(self._solve_impl)
         self._solve_vmapped = jax.jit(
@@ -201,23 +204,55 @@ class AdmmSolver:
         iota = jnp.arange(self.n, dtype=jnp.int32)
         return (ids_c[..., None] == iota).astype(self.dtype)
 
+    _RADIX = 128  # low digit == the TPU lane count
+
+    def _radix_onehots(self, asset):
+        R = self._RADIX
+        ids = self._chunked(asset.reshape(-1), 0)
+        H = -(-self.n // R)
+        oh_lo = (
+            (ids % R)[..., None] == jnp.arange(R, dtype=jnp.int32)
+        ).astype(self.dtype)
+        oh_hi = (
+            (ids // R)[..., None] == jnp.arange(H, dtype=jnp.int32)
+        ).astype(self.dtype)
+        return oh_lo, oh_hi, H
+
     def _bcast_nu(self, nu, name):
         arrs = self.buckets[name]
-        if self.consensus != "onehot":
-            return nu[arrs["asset"]] * arrs["mask"]
         K, m = arrs["mask"].shape
-        oh = self._onehot(arrs["asset"])
-        out = jnp.einsum("bcn,n->bc", oh, nu).reshape(-1)[: K * m]
-        return out.reshape(K, m) * arrs["mask"]
+        if self.consensus == "onehot":
+            oh = self._onehot(arrs["asset"])
+            out = jnp.einsum("bcn,n->bc", oh, nu).reshape(-1)[: K * m]
+            return out.reshape(K, m) * arrs["mask"]
+        if self.consensus == "radix":
+            R = self._RADIX
+            oh_lo, oh_hi, H = self._radix_onehots(arrs["asset"])
+            nu2d = jnp.concatenate(
+                [nu, jnp.zeros(H * R - self.n, self.dtype)]
+            ).reshape(H, R)
+            # M[b,c,h] = nu2d[h, lo[b,c]]  — batched (C,R)x(R,H) matmuls (MXU)
+            M = jnp.einsum("bcl,hl->bch", oh_lo, nu2d)
+            out = jnp.einsum("bch,bch->bc", oh_hi, M).reshape(-1)[: K * m]
+            return out.reshape(K, m) * arrs["mask"]
+        return nu[arrs["asset"]] * arrs["mask"]
 
     def _reduce_edges(self, vals, name):
         """sum_{slots with asset j} vals -> (n,).  vals must be pre-masked."""
         arrs = self.buckets[name]
-        if self.consensus != "onehot":
-            return self._segsum(vals, arrs["asset"])
-        oh = self._onehot(arrs["asset"])
-        vals_c = self._chunked(vals.reshape(-1), 0.0)
-        return jnp.einsum("bc,bcn->n", vals_c, oh)
+        if self.consensus == "onehot":
+            oh = self._onehot(arrs["asset"])
+            vals_c = self._chunked(vals.reshape(-1), 0.0)
+            return jnp.einsum("bc,bcn->n", vals_c, oh)
+        if self.consensus == "radix":
+            R = self._RADIX
+            oh_lo, oh_hi, H = self._radix_onehots(arrs["asset"])
+            vals_c = self._chunked(vals.reshape(-1), 0.0)
+            G = oh_hi * vals_c[..., None]
+            # y2d[h,l] = sum_slots val*[hi==h]*[lo==l] — one (H,E)x(E,R) matmul
+            y2d = jnp.einsum("bch,bcl->hl", G, oh_lo)
+            return y2d.reshape(-1)[: self.n]
+        return self._segsum(vals, arrs["asset"])
 
     # ---- single iteration ---------------------------------------------------
 
