@@ -56,13 +56,13 @@ def _sanity() -> bool:
 
 def main():
     from cfmm_routing_tpu.solver.admm import AdmmOptions, AdmmSolver
-    from cfmm_routing_tpu.solver.compiler import compile_spec
-    from cfmm_routing_tpu.utils.synth import random_arbitrage
+    from cfmm_routing_tpu.solver.compiler import compile_table
+    from cfmm_routing_tpu.utils.synth import random_arbitrage_table
 
     sane = _sanity()
 
-    spec, obj = random_arbitrage(N_ASSETS, N_POOLS, seed=7)
-    compiled = compile_spec(spec)
+    table, obj = random_arbitrage_table(N_ASSETS, N_POOLS, seed=7)
+    compiled = compile_table(table)
     print(
         f"# {N_POOLS} pools, {N_ASSETS} assets, buckets: "
         f"{ {n: (b.m, b.width) for n, b in compiled.buckets.items()} }",

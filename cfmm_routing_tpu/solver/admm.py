@@ -327,7 +327,7 @@ class AdmmSolver:
 
     # ---- full solve ---------------------------------------------------------
 
-    def _solve_impl(self, c, lo, hi, rho0):
+    def _solve_impl(self, c, lo, hi, rho0, z0=None, nu0=None):
         opts = self.options
         n_edges = sum(
             2 * int(np.prod(b["mask"].shape)) for b in self.buckets.values()
@@ -337,14 +337,16 @@ class AdmmSolver:
         lo = lo.astype(self.dtype)
         hi = hi.astype(self.dtype)
 
-        z0 = {
-            name: (
-                jnp.zeros(arrs["mask"].shape, self.dtype),
-                jnp.zeros(arrs["mask"].shape, self.dtype),
-            )
-            for name, arrs in self.buckets.items()
-        }
-        nu0 = jnp.zeros((self.n,), self.dtype)
+        if z0 is None:
+            z0 = {
+                name: (
+                    jnp.zeros(arrs["mask"].shape, self.dtype),
+                    jnp.zeros(arrs["mask"].shape, self.dtype),
+                )
+                for name, arrs in self.buckets.items()
+            }
+        if nu0 is None:
+            nu0 = jnp.zeros((self.n,), self.dtype)
 
         def cond(state):
             k, _, _, rho, r, s, eps_pri, eps_dua, _, _ = state
@@ -409,13 +411,40 @@ class AdmmSolver:
             converged=converged,
         )
 
-    def solve(self, objective: Objective, rho: Optional[float] = None) -> RouteResult:
+    def warm_state(self, result: RouteResult, rho: Optional[float] = None):
+        """Reconstruct an ADMM starting state (z0, nu0) from a prior solve.
+
+        The reference re-canonicalizes from scratch on every solve
+        (``two-asset.py:40-91``); here a prior route on the same network
+        seeds the next solve (drifted reserves/prices converge in a
+        handful of iterations instead of hundreds)."""
+        rho = float(rho if rho is not None else self.options.rho)
+        nu0 = jnp.asarray(np.asarray(result.prices) / rho, self.dtype)
+        # at the ADMM fixed point z == w exactly (dmu -> 0), so the edge
+        # state is just the trades; the entire dual lives in nu
+        z0 = {
+            name: (
+                jnp.asarray(result.deltas[name], self.dtype),
+                jnp.asarray(result.lambdas[name], self.dtype),
+            )
+            for name in self.buckets
+        }
+        return z0, nu0
+
+    def solve(
+        self,
+        objective: Objective,
+        rho: Optional[float] = None,
+        warm: Optional[RouteResult] = None,
+    ) -> RouteResult:
         c = jnp.asarray(objective.c, self.dtype)
-        big = jnp.asarray(np.finfo(np.float32).max / 4, self.dtype)
         lo = jnp.asarray(np.maximum(objective.lo, -np.finfo(np.float32).max / 4), self.dtype)
         hi = jnp.asarray(np.minimum(objective.hi, np.finfo(np.float32).max / 4), self.dtype)
-        del big
-        return self._solve_jit(c, lo, hi, rho if rho is not None else self.options.rho)
+        rho_v = rho if rho is not None else self.options.rho
+        if warm is not None:
+            z0, nu0 = self.warm_state(warm, rho_v)
+            return self._solve_jit(c, lo, hi, rho_v, z0, nu0)
+        return self._solve_jit(c, lo, hi, rho_v)
 
     def solve_batch(self, c, lo, hi, rho: Optional[float] = None) -> RouteResult:
         """vmapped solve over leading batch axis of (c, lo, hi)."""

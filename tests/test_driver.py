@@ -117,3 +117,36 @@ def test_route_feasible_after_chunked():
             assert phi1 >= phi0 - 1e-9
         else:
             assert newR.sum() >= pool.reserves.sum() - 1e-9
+
+
+def test_warm_start_reconverges_fast():
+    """A solved route warm-starts a perturbed problem in far fewer
+    iterations than a cold solve (capability absent in the reference —
+    it re-canonicalizes from scratch 50x in two-asset.py:40-91)."""
+    spec, obj = arbitrage_instance()
+    solver = AdmmSolver(
+        compile_spec(spec), dtype=jnp.float64,
+        options=AdmmOptions(max_iters=30000, eps_abs=1e-9, eps_rel=1e-9),
+    )
+    cold = solver.solve(obj)
+    assert bool(cold.converged)
+
+    # identical problem, warm start: should finish almost immediately
+    rewarm = solver.solve(obj, warm=cold)
+    assert bool(rewarm.converged)
+    assert int(rewarm.iters) <= max(10, int(cold.iters) // 10)
+    np.testing.assert_allclose(
+        float(rewarm.objective), float(cold.objective), rtol=1e-7
+    )
+
+    # perturbed prices: warm still much cheaper than cold
+    from cfmm_routing_tpu.models.utility import Objective
+
+    obj2 = Objective.arbitrage(np.asarray(obj.c) * 1.02)
+    cold2 = solver.solve(obj2)
+    warm2 = solver.solve(obj2, warm=cold)
+    assert bool(warm2.converged)
+    np.testing.assert_allclose(
+        float(warm2.objective), float(cold2.objective), rtol=1e-6
+    )
+    assert int(warm2.iters) < int(cold2.iters)
