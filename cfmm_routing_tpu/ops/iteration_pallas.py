@@ -1,0 +1,229 @@
+"""Fully-fused ADMM iteration kernel: projection + consensus exchange in
+one VMEM pass per bucket.
+
+The XLA path (solver/admm.py) spends most of each iteration building
+one-hot masks for the two consensus maps (broadcast nu to edges, reduce
+edges to assets) and re-reading edge arrays from HBM between the ops.
+This kernel eliminates both costs with an algebraic restructuring:
+
+State per bucket:  s = (sD, sL), evolving as  s' = alpha*w + (1-alpha)*s
+  (w = projected trades).  s carries NO broadcast term: the identity
+
+      z(t) = s(t) + wdef(t)_e        (z the classic ADMM edge state)
+
+  holds with an O(n) *deferred broadcast* vector recursion
+  wdef(t+1) = (1-alpha)*wdef(t) + (nu(t) - mu(t)) maintained by the host
+  (solver/fast.py).  Substituting into the classic iteration, the
+  projection input needs only  v = wdef - nu  broadcast once:
+
+      p = sD + v_e,   q = sL - v_e,      (D, L) = Proj_T(p, q)
+
+  and the consensus reduction needs only array terms
+      y_arrays = reduce(alpha*(L-D) + (1-alpha)*(sL-sD))
+  (the deferred part contributes -2*(1-alpha)*degree*wdef in O(n)).
+
+So ONE kernel launch per bucket per iteration does: build the slot->asset
+one-hot ONCE in VMEM, apply it twice as MXU matmuls (gather v, scatter
+the reduction), run the closed-form projection root-find — with total
+HBM traffic of ~4 planes read + 4 written per tile.  Equivalence with
+the classic path is tested trajectory-exactly in tests/test_fused.py.
+
+Shapes: s/D/L (K, m) slot-major, m % 128 == 0 (compile with
+pad_pools_to=128); v/y are (n_pad,) with n_pad = ceil(n/128)*128.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .projection import ProjectionConfig
+from .projection_pallas import (
+    _eval_cs_channels,
+    _eval_gm_channels,
+    _root_find_body,
+    _relu,
+)
+
+__all__ = ["fused_step"]
+
+_LANES = 128
+FUSED_TILE = 1024  # pools per grid step (smaller than projection-only:
+                   # the per-channel one-hot (T, n_pad) must fit in VMEM)
+
+
+def _gm_bracket(ch, gamma, k0):
+    mu_hi = None
+    for (p, q, Rp, w, s, mask) in ch:
+        qp = _relu(q) + 1e-3
+        need_t = jnp.maximum(
+            2.0 * qp * (Rp + gamma * _relu(p)), 4.0 * qp * qp * gamma * gamma
+        )
+        w_safe = jnp.where(mask > 0, w, 1.0)
+        cand = jnp.where(mask > 0, need_t / (w_safe * jnp.maximum(k0, 1e-30)), 0.0)
+        mu_hi = cand if mu_hi is None else jnp.maximum(mu_hi, cand)
+    return 4.0 * mu_hi + 1.0
+
+
+def _fused_kernel(K, kind, needs_floor, cfg, alpha, n_pad, refs):
+    """refs in: sD_c[K], sL_c[K], ids_c[K], R_c[K], w_c[K], sh_c[K],
+    mask_c[K], gamma, logk0, k0, v(1,n_pad)
+    out: sD'_c[K], sL'_c[K], D_c[K], L_c[K], y(1,n_pad)"""
+    nin = 7 * K + 4
+    ins, outs = refs[:nin], refs[nin:]
+    sD = [ins[c][:] for c in range(K)]
+    sL = [ins[K + c][:] for c in range(K)]
+    IDS = [ins[2 * K + c][:] for c in range(K)]
+    R = [ins[3 * K + c][:] for c in range(K)]
+    W = [ins[4 * K + c][:] for c in range(K)]
+    SH = [ins[5 * K + c][:] for c in range(K)]
+    M = [ins[6 * K + c][:] for c in range(K)]
+    gamma = ins[7 * K][:]
+    logk0 = ins[7 * K + 1][:]
+    k0 = ins[7 * K + 2][:]
+    v_row = ins[7 * K + 3][:]  # (1, n_pad)
+
+    rows, lanes = sD[0].shape
+    T = rows * lanes
+    a = jnp.float32(alpha)
+
+    # one one-hot per channel, built once, applied twice on the MXU
+    oh2 = []
+    P, Q = [], []
+    for c in range(K):
+        ids_row = IDS[c].reshape(1, T)
+        oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (n_pad, T), 0) == ids_row
+        ).astype(jnp.float32)  # (n_pad, T)
+        oh2.append(oh)
+        ve = jax.lax.dot_general(
+            v_row, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, T)
+        ve = ve.reshape(rows, lanes) * M[c]
+        P.append(sD[c] + ve)
+        Q.append(sL[c] - ve)
+
+    # batched projection (identical math to projection_pallas kernels)
+    if kind == "gm":
+        ch = [(P[c], Q[c], R[c] + SH[c], W[c], SH[c], M[c]) for c in range(K)]
+        mu_hi = _gm_bracket(ch, gamma, k0)
+
+        def h_of_mu(mu):
+            return _eval_gm_channels(mu, ch, gamma, k0, needs_floor)[2]
+
+        mu = _root_find_body(h_of_mu, mu_hi, logk0, cfg)
+        Ds, Ls, _ = _eval_gm_channels(mu, ch, gamma, k0, needs_floor)
+    else:
+        ch = [(P[c], Q[c], R[c], W[c], SH[c], M[c]) for c in range(K)]
+        mu_hi = None
+        for (p, q, R_, w, s, mask) in ch:
+            cand = _relu(q) * mask
+            mu_hi = cand if mu_hi is None else jnp.maximum(mu_hi, cand)
+        mu_hi = mu_hi + 1.0
+
+        def h_of_mu(mu):
+            return _eval_cs_channels(mu, ch, gamma, k0)[2]
+
+        mu = _root_find_body(h_of_mu, mu_hi, k0, cfg)
+        Ds, Ls, _ = _eval_cs_channels(mu, ch, gamma, k0)
+
+    # outputs + the per-tile partial consensus reduction
+    y_ref = outs[4 * K]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    y_acc = jnp.zeros((1, n_pad), jnp.float32)
+    for c in range(K):
+        D, L = Ds[c], Ls[c]
+        outs[c][:] = a * D + (1.0 - a) * sD[c]          # sD'
+        outs[K + c][:] = a * L + (1.0 - a) * sL[c]      # sL'
+        outs[2 * K + c][:] = D
+        outs[3 * K + c][:] = L
+        val = a * (L - D) + (1.0 - a) * (sL[c] - sD[c])
+        y_acc = y_acc + jax.lax.dot_general(
+            val.reshape(1, T), oh2[c], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    y_ref[:] += y_acc
+
+
+def fused_step(
+    sD, sL, v, arrs, kind, needs_floor,
+    alpha: float,
+    cfg: ProjectionConfig = ProjectionConfig(),
+    tile: int = FUSED_TILE,
+    interpret: bool = False,
+):
+    """One fused half-iteration for one bucket.
+
+    sD/sL: (K, m) state planes;  v: (n_pad,) combined broadcast vector
+    (wdef - nu, zero-padded to a lane multiple);  arrs: the solver's
+    device bucket dict.  Returns (sD', sL', D, L, y_partial(n_pad,)).
+    """
+    K, m = sD.shape
+    assert m % _LANES == 0, f"pool count {m} must be a multiple of {_LANES}"
+    n_pad = v.shape[0]
+    assert n_pad % _LANES == 0
+    rows = m // _LANES
+    tile_rows = min(tile // _LANES, rows)
+    while rows % tile_rows != 0:
+        tile_rows //= 2
+    grid = (rows // tile_rows,)
+
+    def chan(a):
+        return a.reshape(rows, _LANES)
+
+    inputs = []
+    for arr in (sD, sL):
+        inputs.extend(chan(arr[c]) for c in range(K))
+    inputs.extend(chan(arrs["asset"][c]) for c in range(K))
+    for key in ("R", "w", "s", "mask"):
+        inputs.extend(chan(arrs[key][c]) for c in range(K))
+    inputs.extend([chan(arrs["gamma"]), chan(arrs["logk0"]), chan(arrs["k0"])])
+    inputs.append(v.reshape(1, n_pad))
+
+    block = pl.BlockSpec(
+        (tile_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    vec_block = pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [block] * (7 * K + 3) + [vec_block]
+    out_specs = [block] * (4 * K) + [vec_block]
+    out_shape = [jax.ShapeDtypeStruct((rows, _LANES), sD.dtype)] * (4 * K) + [
+        jax.ShapeDtypeStruct((1, n_pad), sD.dtype)
+    ]
+
+    kernel = functools.partial(
+        _fused_kernel, K, kind, needs_floor, cfg, alpha, n_pad
+    )
+
+    def kfn(*refs):
+        kernel(refs)
+
+    E = K * m
+    steps = cfg.n_bisect + cfg.n_polish
+    out = pl.pallas_call(
+        kfn,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * E * n_pad + 60 * steps * E,
+            bytes_accessed=4 * (11 * E + 2 * n_pad),
+            transcendentals=(steps + 2) * E,
+        ),
+    )(*inputs)
+
+    sDn = jnp.stack([out[c].reshape(m) for c in range(K)])
+    sLn = jnp.stack([out[K + c].reshape(m) for c in range(K)])
+    D = jnp.stack([out[2 * K + c].reshape(m) for c in range(K)])
+    L = jnp.stack([out[3 * K + c].reshape(m) for c in range(K)])
+    y = out[4 * K].reshape(n_pad)
+    return sDn, sLn, D, L, y

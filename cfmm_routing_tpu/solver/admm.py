@@ -325,6 +325,62 @@ class AdmmSolver:
         )
         return z_new, mu, psi, w_out, stats
 
+    # ---- fused-kernel iteration path ---------------------------------------
+    # State representation:  z(t) = s(t) +/- wdef(t)_e  with s the array
+    # planes and wdef an O(n) deferred-broadcast vector (see
+    # ops/iteration_pallas.py for the derivation).  One Pallas launch per
+    # bucket per iteration; all consensus algebra outside is O(n).
+
+    def fused_init(self):
+        s0 = {
+            name: (
+                jnp.zeros(arrs["mask"].shape, self.dtype),
+                jnp.zeros(arrs["mask"].shape, self.dtype),
+            )
+            for name, arrs in self.buckets.items()
+        }
+        wdef0 = jnp.zeros((self.n,), self.dtype)
+        nu0 = jnp.zeros((self.n,), self.dtype)
+        return s0, wdef0, nu0
+
+    def _iterate_fused(self, s, wdef, nu, rho, c, lo, hi, interpret=False):
+        from ..ops.iteration_pallas import fused_step
+        from ..ops.prox import psi_prox
+
+        alpha = float(self.options.alpha)
+        n = self.n
+        n_pad = -(-n // 128) * 128
+        v = jnp.concatenate(
+            [wdef - nu, jnp.zeros((n_pad - n,), self.dtype)]
+        )
+        y = jnp.zeros((n_pad,), self.dtype)
+        s_new = {}
+        w_out = {}
+        for name, arrs in self.buckets.items():
+            kind, floor = self._meta[name]
+            sD, sL = s[name]
+            sDn, sLn, D, L, yp = fused_step(
+                sD, sL, v, arrs, kind, floor, alpha,
+                cfg=self.options.projection, interpret=interpret,
+            )
+            s_new[name] = (sDn, sLn)
+            w_out[name] = (D, L)
+            y = y + yp
+        yhat = self._psum(y[:n]) - 2.0 * (1.0 - alpha) * self.degree * wdef
+        svec = yhat - 2.0 * self.degree * nu
+        psi, mu = psi_prox(svec, self.degree, c, lo, hi, rho)
+        wdef_new = (1.0 - alpha) * wdef + nu - mu
+        return s_new, wdef_new, mu, psi, w_out
+
+    def fused_to_z(self, s, wdef):
+        """Materialize the classic edge state z from the fused state."""
+        z = {}
+        for name in self.buckets:
+            we = self._bcast_nu(wdef, name)
+            sD, sL = s[name]
+            z[name] = (sD + we, sL - we)
+        return z
+
     # ---- full solve ---------------------------------------------------------
 
     def _solve_impl(self, c, lo, hi, rho0, z0=None, nu0=None):

@@ -1,0 +1,91 @@
+"""Fused Pallas iteration vs the classic XLA iteration — trajectory parity.
+
+The fused path (ops/iteration_pallas.py + AdmmSolver._iterate_fused) is an
+algebraic restructuring of EXACTLY the same ADMM update; its (D, L, nu,
+psi) trajectory must match the classic `_iterate` step-for-step to f32
+roundoff on every bucket kind.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cfmm_routing_tpu.solver.admm import AdmmOptions, AdmmSolver
+from cfmm_routing_tpu.solver.compiler import compile_table
+from cfmm_routing_tpu.utils.synth import random_arbitrage_table
+
+N_STEPS = 12
+
+
+def _mk_solver(n_assets=64, n_pools=320, seed=0, alpha=1.7):
+    table, obj = random_arbitrage_table(n_assets, n_pools, seed=seed)
+    compiled = compile_table(table, pad_pools_to=128)
+    opts = AdmmOptions(max_iters=50, alpha=alpha, consensus="onehot")
+    return AdmmSolver(compiled, dtype=jnp.float32, options=opts), obj
+
+
+@pytest.mark.parametrize("alpha", [1.0, 1.7])
+def test_fused_matches_classic_trajectory(alpha):
+    solver, obj = _mk_solver(alpha=alpha)
+    n = solver.n
+    c = jnp.asarray(obj.c, jnp.float32)
+    lo = jnp.asarray(np.maximum(obj.lo, -3e38), jnp.float32)
+    hi = jnp.asarray(np.minimum(obj.hi, 3e38), jnp.float32)
+    rho = jnp.float32(1.0)
+
+    # classic
+    z = {
+        name: (jnp.zeros_like(a["mask"]), jnp.zeros_like(a["mask"]))
+        for name, a in solver.buckets.items()
+    }
+    nu = jnp.zeros((n,), jnp.float32)
+    classic = []
+    for _ in range(N_STEPS):
+        z, nu, psi, w, _ = solver._iterate(z, nu, rho, c, lo, hi)
+        classic.append((psi, nu, w))
+
+    # fused (interpret mode on CPU)
+    s, wdef, nuf = solver.fused_init()
+    for k in range(N_STEPS):
+        s, wdef, nuf, psi_f, w_f = solver._iterate_fused(
+            s, wdef, nuf, rho, c, lo, hi, interpret=True
+        )
+        psi_c, nu_c, w_c = classic[k]
+        np.testing.assert_allclose(
+            np.asarray(psi_f), np.asarray(psi_c), atol=2e-4,
+            err_msg=f"psi step {k}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(nuf), np.asarray(nu_c), atol=2e-4,
+            err_msg=f"nu step {k}",
+        )
+        for name in w_c:
+            np.testing.assert_allclose(
+                np.asarray(w_f[name][0]), np.asarray(w_c[name][0]),
+                atol=2e-4, err_msg=f"D[{name}] step {k}",
+            )
+
+    # and the materialized edge state matches the classic z
+    zf = solver.fused_to_z(s, wdef)
+    for name in z:
+        np.testing.assert_allclose(
+            np.asarray(zf[name][0]), np.asarray(z[name][0]), atol=2e-4,
+            err_msg=f"zD[{name}]",
+        )
+        np.testing.assert_allclose(
+            np.asarray(zf[name][1]), np.asarray(z[name][1]), atol=2e-4,
+            err_msg=f"zL[{name}]",
+        )
+
+
+def test_fused_requires_lane_aligned_pools():
+    table, obj = random_arbitrage_table(16, 100, seed=1)
+    compiled = compile_table(table)  # no pad_pools_to=128
+    solver = AdmmSolver(
+        compiled, dtype=jnp.float32, options=AdmmOptions(max_iters=5)
+    )
+    s, wdef, nu = solver.fused_init()
+    c = jnp.zeros((16,), jnp.float32)
+    with pytest.raises(AssertionError, match="multiple of 128"):
+        solver._iterate_fused(s, wdef, nu, jnp.float32(1.0), c, c, c,
+                              interpret=True)
