@@ -19,11 +19,13 @@ from typing import List, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from .models.utility import Objective
+from .models.utility import ConcaveUtility, Objective
 from .solver.admm import AdmmOptions, AdmmSolver
 from .solver.compiler import ProblemSpec, compile_spec
 
-__all__ = ["Route", "Sweep", "arbitrage", "liquidate", "sweep", "make_solver"]
+__all__ = [
+    "Route", "Sweep", "arbitrage", "liquidate", "sweep", "route", "make_solver",
+]
 
 
 @dataclasses.dataclass
@@ -116,6 +118,26 @@ def liquidate(
     solver = solver or make_solver(spec, **solver_kwargs)
     obj = Objective.liquidation(spec.n_assets, numeraire, holdings)
     return _route_from(solver, solver.solve(obj), obj, certify)
+
+
+def route(
+    spec: ProblemSpec,
+    objective,
+    solver: Optional[AdmmSolver] = None,
+    certify: bool = False,
+    **solver_kwargs,
+) -> Route:
+    """Generic routing: maximize any :class:`Objective` (linear + box) or
+    :class:`ConcaveUtility` (separable concave atoms) over the network.
+
+    This is the superset entry point — the reference's cvxpy layer accepts
+    arbitrary concave utilities (SURVEY.md §0) even though its scripts only
+    exercise linear ones; ``route`` exposes the same generality here.
+    """
+    solver = solver or make_solver(spec, **solver_kwargs)
+    if not isinstance(objective, (Objective, ConcaveUtility)):
+        raise TypeError("objective must be an Objective or ConcaveUtility")
+    return _route_from(solver, solver.solve(objective), objective, certify)
 
 
 def sweep(

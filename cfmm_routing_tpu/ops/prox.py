@@ -4,27 +4,64 @@ The z-update  argmin_z G(psi(z)) + (rho/2)||z - v||^2  over all edge copies
 reduces exactly (see solver/admm.py docstring for the derivation) to an
 n-vector problem
 
-    psi* = argmin_psi  -c^T psi + I_box(psi) + (rho/4) sum_j (psi_j - s_j)^2 / d_j
+    psi* = argmax_psi  U(psi) - I_box(psi) - (rho/4) sum_j (psi_j - s_j)^2 / d_j
 
 with s = scatter-added edge values and d = per-asset degree.  Because the
-quadratic is diagonal, the solution is "shift then clip":
+quadratic is diagonal and U separable, the solution decouples per asset.
+
+For linear U (``psi_prox``) — which covers all three reference objectives
+(``arbitrage.py:57,77``, ``liquidation.py:57,77-80``, ``two-asset.py:66,86``)
+— it is "shift then clip":
 
     psi_j = clip(s_j + (2/rho) d_j c_j, lo_j, hi_j)
 
-This covers all three reference objectives (``arbitrage.py:57,77``,
-``liquidation.py:57,77-80``, ``two-asset.py:66,86``) — linear utility with
-a box (equalities = degenerate box).  Assets touched by no pool (d_j = 0)
-are pinned to psi_j = 0.
+``utility_prox`` generalizes to any separable concave utility built from
+the atom library below (the reference's cvxpy layer admits arbitrary
+concave utilities over psi — SURVEY.md §0 "arbitrary concave utilities";
+the canonical router paper uses linear, log ("Cobb-Douglas"), and
+power/CES forms).  1-D concavity means the box-constrained maximizer is
+the clipped unconstrained stationary point, so every atom is closed-form
+except power (a short, fixed-trip, monotonically-convergent Newton).
+Assets touched by no pool (d_j = 0) are pinned to psi_j = 0.
+
+Atom table (per asset j, kind code -> U_j(psi)):
+
+    0  linear      c * psi
+    1  quadratic   c * psi - (a/2) * psi^2            (a >= 0)
+    2  log         c * log(b + psi)                   (c >= 0, psi > -b)
+    3  power       (c/p) * (b + psi)^p                (c >= 0, 0 < p < 1)
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
+import jax
 import jax.numpy as jnp
 
-__all__ = ["psi_prox"]
+__all__ = ["psi_prox", "PackedUtility", "utility_prox", "utility_value"]
+
+_POWER_NEWTON_ITERS = 24
+
+
+class PackedUtility(NamedTuple):
+    """Device-array encoding of a separable concave utility (all (n,)).
+
+    ``kind`` selects the atom per asset (codes above); unused params are 0.
+    ``lo``/``hi`` are the box (already clamped to finite f32-safe values
+    and to the atom domain ``psi >= -b`` for log/power).
+    """
+
+    kind: jax.Array  # int32
+    c: jax.Array
+    a: jax.Array
+    b: jax.Array
+    p: jax.Array
+    lo: jax.Array
+    hi: jax.Array
 
 
 def psi_prox(s, degree, c, lo, hi, rho):
-    """Solve the weighted prox above.  All args (n,) except scalar rho.
+    """Linear-utility prox (the hot path).  All args (n,) except scalar rho.
 
     Returns (psi, mu) where mu_j = (psi_j - s_j) / (2 d_j) is the per-asset
     consensus multiplier (the scaled dual price update).
@@ -36,3 +73,78 @@ def psi_prox(s, degree, c, lo, hi, rho):
     mu = (psi - s) / (2.0 * d_safe)
     mu = jnp.where(degree > 0, mu, 0.0)
     return psi, mu
+
+
+def _power_root(w, t, cf, p, tiny):
+    """Root of  g(y) = w*(y - t) - cf * y^(p-1)  over y > 0.
+
+    g is increasing and concave in y (0 < p < 1, cf >= 0), so every Newton
+    tangent crosses zero at or BELOW the root and the iteration converges
+    monotonically upward — no safeguards needed beyond a positive floor.
+    """
+    y = jnp.maximum(t, tiny) + (cf / w) ** (1.0 / (2.0 - p))
+    y = jnp.maximum(y, tiny)
+
+    def step(y, _):
+        yp = y ** (p - 1.0)
+        g = w * (y - t) - cf * yp
+        gp = w + cf * (1.0 - p) * yp / y
+        y = jnp.maximum(y - g / gp, tiny)
+        return y, None
+
+    y, _ = jax.lax.scan(step, y, None, length=_POWER_NEWTON_ITERS)
+    return y
+
+
+def utility_prox(s, degree, util: PackedUtility, rho):
+    """General separable-concave prox: per-asset
+    argmax_psi U_j(psi) - (rho / (4 d_j)) (psi - s_j)^2  clipped to the box.
+
+    Branch-free over atom kinds (all four stationary points are evaluated
+    on the VPU and selected by ``where``); same return contract as
+    :func:`psi_prox`.
+    """
+    dt = s.dtype
+    tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+    d_safe = jnp.maximum(degree, 1.0)
+    w = rho / (2.0 * d_safe)  # prox weight: U'(psi) = w * (psi - s)
+
+    kind, c, a, b, p = util.kind, util.c, util.a, util.b, util.p
+    # 0: linear      psi = s + c / w
+    psi_lin = s + c / w
+    # 1: quadratic   c - a*psi = w*(psi - s)
+    psi_quad = (c + w * s) / (a + w)
+    # 2: log         c/(b+psi) = w*(psi - s); y = b + psi solves
+    #                w*y^2 - w*(s+b)*y - c = 0  -> positive root
+    t = s + b
+    psi_log = 0.5 * (t + jnp.sqrt(t * t + 4.0 * c / w)) - b
+    # 3: power       c*y^(p-1) = w*(y - t)  (note U = (c/p) y^p -> U' = c y^(p-1))
+    p_safe = jnp.clip(p, 0.01, 0.99)
+    psi_pow = _power_root(w, t, jnp.maximum(c, 0.0), p_safe, tiny) - b
+
+    psi = jnp.where(
+        kind == 0, psi_lin,
+        jnp.where(kind == 1, psi_quad, jnp.where(kind == 2, psi_log, psi_pow)),
+    )
+    psi = jnp.clip(psi, util.lo, util.hi)
+    psi = jnp.where(degree > 0, psi, 0.0)
+    mu = (psi - s) / (2.0 * d_safe)
+    mu = jnp.where(degree > 0, mu, 0.0)
+    return psi, mu
+
+
+def utility_value(util: PackedUtility, psi):
+    """U(psi) = sum_j U_j(psi_j) (same atom table as :func:`utility_prox`)."""
+    dt = psi.dtype
+    tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+    kind, c, a, b, p = util.kind, util.c, util.a, util.b, util.p
+    y = jnp.maximum(b + psi, tiny)
+    p_safe = jnp.where(kind == 3, jnp.clip(p, 0.01, 0.99), 1.0)
+    v = jnp.where(
+        kind == 0, c * psi,
+        jnp.where(
+            kind == 1, c * psi - 0.5 * a * psi * psi,
+            jnp.where(kind == 2, c * jnp.log(y), (c / p_safe) * y**p_safe),
+        ),
+    )
+    return jnp.sum(v)

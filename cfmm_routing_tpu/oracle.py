@@ -24,7 +24,7 @@ from typing import Optional
 import numpy as np
 import scipy.optimize as sopt
 
-from .models.utility import Objective
+from .models.utility import ConcaveUtility, Objective
 from .solver.compiler import ProblemSpec
 
 __all__ = ["oracle_solve", "OracleResult"]
@@ -81,13 +81,22 @@ def oracle_solve(
             P[a, off + k + j] = 1.0  # lambda
         off += 2 * k
 
-    c = obj.c
+    if isinstance(obj, ConcaveUtility):
+        # general separable concave utility (models/utility.py)
+        def fun(x):
+            return -obj.value(P @ x)
 
-    def fun(x):
-        return -c @ (P @ x)
+        def grad(x):
+            return -(P.T @ obj.grad(P @ x))
 
-    def grad(x):
-        return -(P.T @ c)
+    else:
+        c = obj.c
+
+        def fun(x):
+            return -c @ (P @ x)
+
+        def grad(x):
+            return -(P.T @ c)
 
     constraints = [sopt.LinearConstraint(P, obj.lo, obj.hi)]
 

@@ -269,8 +269,12 @@ class AdmmSolver:
             pD, pL, arrs["R"], arrs["gamma"], arrs["k0"], arrs["mask"], cfg=cfg
         )
 
-    def _iterate(self, z, nu, rho, c, lo, hi):
+    def _iterate(self, z, nu, rho, c, lo, hi, util=None):
         """One ADMM iteration. Returns (z_new, nu_new, psi, w, stats).
+
+        ``util`` (a PackedUtility pytree) switches the consensus prox from
+        the linear closed form to the general separable-concave one; the
+        bucket-side work is identical.
 
         z / w are dicts name -> (D, L) pairs of (K, m) arrays — two flat
         slot-major planes, never a trailing length-2 axis (which would put
@@ -291,9 +295,12 @@ class AdmmSolver:
 
         yhat = self._psum(yhat)
         s = yhat - 2.0 * self.degree * nu
-        from ..ops.prox import psi_prox
+        from ..ops.prox import psi_prox, utility_prox
 
-        psi, mu = psi_prox(s, self.degree, c, lo, hi, rho)
+        if util is None:
+            psi, mu = psi_prox(s, self.degree, c, lo, hi, rho)
+        else:
+            psi, mu = utility_prox(s, self.degree, util, rho)
 
         z_new = {}
         w_out = {}
@@ -383,7 +390,7 @@ class AdmmSolver:
 
     # ---- full solve ---------------------------------------------------------
 
-    def _solve_impl(self, c, lo, hi, rho0, z0=None, nu0=None):
+    def _solve_impl(self, c, lo, hi, rho0, z0=None, nu0=None, util=None):
         opts = self.options
         n_edges = sum(
             2 * int(np.prod(b["mask"].shape)) for b in self.buckets.values()
@@ -413,7 +420,7 @@ class AdmmSolver:
 
         def body(state):
             k, z, nu, rho, _, _, _, _, _, _ = state
-            z, nu, psi, w, st = self._iterate(z, nu, rho, c, lo, hi)
+            z, nu, psi, w, st = self._iterate(z, nu, rho, c, lo, hi, util)
             r = jnp.sqrt(st["r2"])
             sd = jnp.sqrt(st["s2"])
             eps_pri = opts.eps_abs * sqn + opts.eps_rel * jnp.sqrt(
@@ -453,7 +460,12 @@ class AdmmSolver:
         deltas = {name: w[name][0] for name in self.buckets}
         lambdas = {name: w[name][1] for name in self.buckets}
 
-        obj = jnp.sum(c * psi)
+        if util is None:
+            obj = jnp.sum(c * psi)
+        else:
+            from ..ops.prox import utility_value
+
+            obj = utility_value(util, psi)
         converged = jnp.logical_and(r <= eps_pri, sd <= eps_dua)
         return RouteResult(
             objective=obj,
@@ -489,18 +501,31 @@ class AdmmSolver:
 
     def solve(
         self,
-        objective: Objective,
+        objective,
         rho: Optional[float] = None,
         warm: Optional[RouteResult] = None,
     ) -> RouteResult:
-        c = jnp.asarray(objective.c, self.dtype)
-        lo = jnp.asarray(np.maximum(objective.lo, -np.finfo(np.float32).max / 4), self.dtype)
-        hi = jnp.asarray(np.minimum(objective.hi, np.finfo(np.float32).max / 4), self.dtype)
+        """Solve for an :class:`Objective` (linear) or a
+        :class:`~cfmm_routing_tpu.models.utility.ConcaveUtility`."""
+        from ..models.utility import ConcaveUtility
+
         rho_v = rho if rho is not None else self.options.rho
+        util = None
+        if isinstance(objective, ConcaveUtility):
+            util = objective.pack(self.dtype)
+            c, lo, hi = util.c, util.lo, util.hi
+        else:
+            c = jnp.asarray(objective.c, self.dtype)
+            lo = jnp.asarray(
+                np.maximum(objective.lo, -np.finfo(np.float32).max / 4), self.dtype
+            )
+            hi = jnp.asarray(
+                np.minimum(objective.hi, np.finfo(np.float32).max / 4), self.dtype
+            )
+        z0 = nu0 = None
         if warm is not None:
             z0, nu0 = self.warm_state(warm, rho_v)
-            return self._solve_jit(c, lo, hi, rho_v, z0, nu0)
-        return self._solve_jit(c, lo, hi, rho_v)
+        return self._solve_jit(c, lo, hi, rho_v, z0, nu0, util)
 
     def solve_batch(self, c, lo, hi, rho: Optional[float] = None) -> RouteResult:
         """vmapped solve over leading batch axis of (c, lo, hi)."""

@@ -43,7 +43,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from ..models.utility import Objective
+from ..models.utility import ConcaveUtility, Objective
 from .compiler import Bucket, CompiledProblem
 
 __all__ = ["Certificate", "certify"]
@@ -97,6 +97,65 @@ def _box_support(c: np.ndarray, nu: np.ndarray, lo: np.ndarray, hi: np.ndarray):
     # unconstrained assets have d == 0 exactly after repair
     val = np.where(np.isfinite(val), val, 0.0)
     return float(np.sum(val))
+
+
+def _util_repair_prices(util: ConcaveUtility, nu: np.ndarray) -> np.ndarray:
+    """Repair nu so the per-asset concave conjugate is finite.
+
+    Where hi = +inf the sup of U_j(psi) - nu*psi diverges unless
+    nu >= lim U'_j: c for linear atoms, 0+ for log/power (U' -> 0), any
+    value for strictly-quadratic atoms (U' -> -inf).  Mirrors
+    :func:`_repair_prices` for the linear case."""
+    nu = np.array(nu, dtype=np.float64, copy=True)
+    is_lin = (util.kind == 0) | ((util.kind == 1) & (util.a <= 0))
+    lo, hi, c = util.lo, util.hi, util.c
+    free = is_lin & ~np.isfinite(lo) & ~np.isfinite(hi)
+    nu[free] = c[free]
+    up = is_lin & ~np.isfinite(hi) & ~free
+    nu[up] = np.maximum(nu[up], c[up])
+    dn = is_lin & ~np.isfinite(lo) & ~free
+    nu[dn] = np.minimum(nu[dn], c[dn])
+    curved_up = ((util.kind == 2) | (util.kind == 3)) & ~np.isfinite(hi)
+    nu[curved_up] = np.maximum(nu[curved_up], 1e-12)
+    return np.maximum(nu, 0.0)
+
+
+def _util_support(util: ConcaveUtility, nu: np.ndarray) -> float:
+    """sup_{lo<=psi<=hi} U(psi) - nu^T psi with nu pre-repaired.
+
+    1-D concavity per asset: the constrained maximizer is the clipped
+    stationary point (closed form for every atom)."""
+    kind, c, a, b, p = util.kind, util.c, util.a, util.b, util.p
+    lo, hi = util.lo, util.hi
+    is_lin = (kind == 0) | ((kind == 1) & (a <= 0))
+
+    # linear atoms: endpoint selection (identical to _box_support)
+    d = c - nu
+    lo_f = np.where(np.isfinite(lo), lo, 0.0)
+    hi_f = np.where(np.isfinite(hi), hi, 0.0)
+    lin_val = np.maximum(
+        np.where(np.isfinite(lo), d * lo_f, -np.inf),
+        np.where(np.isfinite(hi), d * hi_f, -np.inf),
+    )
+    lin_val = np.where(np.isfinite(lin_val), lin_val, 0.0)
+
+    # curved atoms: stationary point, then clip into the box
+    a_safe = np.maximum(a, 1e-300)
+    nu_safe = np.maximum(nu, 1e-300)
+    c_safe = np.maximum(c, 1e-300)
+    p_safe = np.where(kind == 3, np.clip(p, 0.01, 0.99), 0.5)
+    psi_star = np.where(
+        kind == 1, (c - nu) / a_safe,
+        np.where(
+            kind == 2, c_safe / nu_safe - b,
+            (nu_safe / c_safe) ** (1.0 / (p_safe - 1.0)) - b,
+        ),
+    )
+    psi_star = np.clip(psi_star, lo, np.where(np.isfinite(hi), hi, np.inf))
+    psi_eval = np.where(is_lin, 0.0, psi_star)  # keep lin assets off the eval
+    curved_val = util.value_vec(psi_eval) - nu * psi_eval
+
+    return float(np.sum(np.where(is_lin, lin_val, curved_val)))
 
 
 def _repair_prices(
@@ -175,7 +234,7 @@ def certify(
     layout).  prices: (n,) dual prices (RouteResult.prices).
     """
     n = compiled.n_assets
-    c = np.asarray(objective.c, np.float64)
+    util = objective if isinstance(objective, ConcaveUtility) else None
     lo = np.asarray(objective.lo, np.float64)
     hi = np.asarray(objective.hi, np.float64)
 
@@ -183,7 +242,11 @@ def certify(
     phi_viol = 0.0
     nneg_viol = 0.0
     floor_viol = 0.0
-    nu = _repair_prices(np.asarray(prices, np.float64), c, lo, hi)
+    if util is not None:
+        nu = _util_repair_prices(util, np.asarray(prices, np.float64))
+    else:
+        c = np.asarray(objective.c, np.float64)
+        nu = _repair_prices(np.asarray(prices, np.float64), c, lo, hi)
     nu_ext = np.concatenate([nu, [0.0]])
     dual_pools = 0.0
 
@@ -235,8 +298,12 @@ def certify(
         else 0.0
     )
 
-    primal = float(c @ psi_hat)
-    dual = _box_support(c, nu, lo, hi) + dual_pools
+    if util is not None:
+        primal = util.value(psi_hat)
+        dual = _util_support(util, nu) + dual_pools
+    else:
+        primal = float(c @ psi_hat)
+        dual = _box_support(c, nu, lo, hi) + dual_pools
     gap = dual - primal
     return Certificate(
         objective=primal,
