@@ -62,7 +62,9 @@ def main():
     sane = _sanity()
 
     table, obj = random_arbitrage_table(N_ASSETS, N_POOLS, seed=7)
-    compiled = compile_table(table)
+    # (8-sublane x 128-lane)-aligned pool counts so the fused Pallas path
+    # gets legal tiles; <=1% padding waste at this scale
+    compiled = compile_table(table, pad_pools_to=1024)
     print(
         f"# {N_POOLS} pools, {N_ASSETS} assets, buckets: "
         f"{ {n: (b.m, b.width) for n, b in compiled.buckets.items()} }",
@@ -73,27 +75,40 @@ def main():
     opts = AdmmOptions(max_iters=FIXED_ITERS, eps_abs=0.0, eps_rel=0.0, adapt_rho=False)
     solver = AdmmSolver(compiled, dtype=jnp.float32, options=opts)
 
-    t0 = time.time()
-    res = solver.solve(obj)
-    jax.block_until_ready(res.objective)
-    compile_s = time.time() - t0
-    print(f"# compile+first solve: {compile_s:.1f}s", file=sys.stderr)
-
-    times = []
-    for _ in range(3):
+    def time_path(label, run):
         t0 = time.time()
-        res = solver.solve(obj)
+        res = run()
         jax.block_until_ready(res.objective)
-        times.append(time.time() - t0)
-    best = min(times)
-    iters_per_s = FIXED_ITERS / best
-    print(
-        f"# {FIXED_ITERS} iters in {best:.3f}s -> {iters_per_s:.1f} it/s; "
-        f"obj={float(res.objective):.3f} r={float(res.r_norm):.2e}",
-        file=sys.stderr,
-    )
+        print(f"# {label}: compile+first solve {time.time() - t0:.1f}s", file=sys.stderr)
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            res = run()
+            jax.block_until_ready(res.objective)
+            times.append(time.time() - t0)
+        best = min(times)
+        ips = FIXED_ITERS / best
+        print(
+            f"# {label}: {FIXED_ITERS} iters in {best:.3f}s -> {ips:.1f} it/s; "
+            f"obj={float(res.objective):.3f} r={float(res.r_norm):.2e}",
+            file=sys.stderr,
+        )
+        return ips, res
 
-    value = iters_per_s if sane else 0.0
+    ips_classic, res_c = time_path("classic", lambda: solver.solve(obj))
+    ips_fused, res_f = time_path(
+        "fused", lambda: solver.solve_fused(obj, iters=FIXED_ITERS - 1)
+    )
+    # the two paths run the identical iteration; objectives must agree
+    rel = abs(float(res_f.objective) - float(res_c.objective)) / max(
+        1.0, abs(float(res_c.objective))
+    )
+    if rel > 1e-3:
+        print(f"# WARNING fused/classic objective mismatch rel={rel:.2e}",
+              file=sys.stderr)
+        sane = False
+
+    value = max(ips_classic, ips_fused) if sane else 0.0
     print(
         json.dumps(
             {

@@ -171,9 +171,18 @@ def fused_step(
     n_pad = v.shape[0]
     assert n_pad % _LANES == 0
     rows = m // _LANES
-    tile_rows = min(tile // _LANES, rows)
-    while rows % tile_rows != 0:
-        tile_rows //= 2
+    # Mosaic requires the block's sublane extent to be a multiple of 8 or
+    # the whole array: pick the largest such divisor of `rows`.
+    tile_rows = 0
+    for t in range(min(tile // _LANES, rows), 0, -1):
+        if rows % t == 0 and (t % 8 == 0 or t == rows):
+            tile_rows = t
+            break
+    if tile_rows == 0 or (tile_rows == rows and rows > 4 * (tile // _LANES)):
+        raise ValueError(
+            f"pool count {m} gives {rows} sublane rows with no TPU-legal "
+            "tile; compile with pad_pools_to=1024 for the fused path"
+        )
     grid = (rows // tile_rows,)
 
     def chan(a):

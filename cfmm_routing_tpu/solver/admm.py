@@ -174,6 +174,7 @@ class AdmmSolver:
             mode = "onehot" if self.n <= 512 else "radix"
         self.consensus = mode
         self._solve_jit = jax.jit(self._solve_impl)
+        self._solve_fused_jit = None  # built lazily by solve_fused
         self._solve_vmapped = jax.jit(
             jax.vmap(self._solve_impl, in_axes=(0, 0, 0, None))
         )
@@ -350,9 +351,10 @@ class AdmmSolver:
         nu0 = jnp.zeros((self.n,), self.dtype)
         return s0, wdef0, nu0
 
-    def _iterate_fused(self, s, wdef, nu, rho, c, lo, hi, interpret=False):
+    def _iterate_fused(self, s, wdef, nu, rho, c, lo, hi, util=None,
+                       interpret=False):
         from ..ops.iteration_pallas import fused_step
-        from ..ops.prox import psi_prox
+        from ..ops.prox import psi_prox, utility_prox
 
         alpha = float(self.options.alpha)
         n = self.n
@@ -375,7 +377,10 @@ class AdmmSolver:
             y = y + yp
         yhat = self._psum(y[:n]) - 2.0 * (1.0 - alpha) * self.degree * wdef
         svec = yhat - 2.0 * self.degree * nu
-        psi, mu = psi_prox(svec, self.degree, c, lo, hi, rho)
+        if util is None:
+            psi, mu = psi_prox(svec, self.degree, c, lo, hi, rho)
+        else:
+            psi, mu = utility_prox(svec, self.degree, util, rho)
         wdef_new = (1.0 - alpha) * wdef + nu - mu
         return s_new, wdef_new, mu, psi, w_out
 
@@ -387,6 +392,101 @@ class AdmmSolver:
             sD, sL = s[name]
             z[name] = (sD + we, sL - we)
         return z
+
+    def _solve_fused_impl(self, c, lo, hi, rho, n_iters, util=None,
+                          interpret=False):
+        """Fixed-iteration solve on the fused-kernel path.
+
+        Runs ``n_iters`` fused iterations (one Pallas launch per bucket per
+        iteration, no residual bookkeeping in the loop), then materializes
+        the classic edge state and runs ONE classic iteration to harvest
+        exact residual norms and exactly-feasible primal trades."""
+        opts = self.options
+        s0, wdef0, nu0 = self.fused_init()
+
+        def body(_, st):
+            s, wdef, nu = st
+            s, wdef, nu, _, _ = self._iterate_fused(
+                s, wdef, nu, rho, c, lo, hi, util=util, interpret=interpret
+            )
+            return (s, wdef, nu)
+
+        s, wdef, nu = jax.lax.fori_loop(0, n_iters, body, (s0, wdef0, nu0))
+        z = self.fused_to_z(s, wdef)
+        z, nu, psi, w, st = self._iterate(z, nu, rho, c, lo, hi, util)
+        r = jnp.sqrt(st["r2"])
+        sd = jnp.sqrt(st["s2"])
+        n_edges = sum(
+            2 * int(np.prod(b["mask"].shape)) for b in self.buckets.values()
+        )
+        sqn = jnp.asarray(np.sqrt(n_edges), self.dtype)
+        eps_pri = opts.eps_abs * sqn + opts.eps_rel * jnp.sqrt(
+            jnp.maximum(st["w_norm2"], st["z_norm2"])
+        )
+        eps_dua = opts.eps_abs * sqn + opts.eps_rel * jnp.sqrt(st["u_norm2"])
+        if util is None:
+            obj = jnp.sum(c * psi)
+        else:
+            from ..ops.prox import utility_value
+
+            obj = utility_value(util, psi)
+        return RouteResult(
+            objective=obj,
+            psi=psi,
+            prices=rho * nu,
+            deltas={name: w[name][0] for name in self.buckets},
+            lambdas={name: w[name][1] for name in self.buckets},
+            iters=jnp.asarray(n_iters + 1, jnp.int32),
+            r_norm=r,
+            s_norm=sd,  # st["s2"] is already rho-scaled inside _iterate
+            converged=jnp.logical_and(r <= eps_pri, sd <= eps_dua),
+        )
+
+    def solve_fused(
+        self,
+        objective,
+        iters: int,
+        rho: Optional[float] = None,
+        interpret: bool = False,
+    ) -> RouteResult:
+        """Fixed-iteration solve on the fused Pallas path.
+
+        Requires every bucket's pool count to be a multiple of 128
+        (compile with ``pad_pools_to=128``) — the kernel tiles pools onto
+        the TPU lane axis.  Accepts the same objectives as :meth:`solve`.
+        """
+        for name, arrs in self.buckets.items():
+            m = arrs["mask"].shape[1]
+            if m % 128 != 0:
+                raise ValueError(
+                    f"bucket {name!r} has {m} pools; the fused kernel needs "
+                    "a multiple of 128 (1024 for big buckets) — "
+                    "compile_spec/compile_table with pad_pools_to=128"
+                )
+        from ..models.utility import ConcaveUtility
+
+        util = None
+        if isinstance(objective, ConcaveUtility):
+            util = objective.pack(self.dtype)
+            c, lo, hi = util.c, util.lo, util.hi
+        else:
+            c = jnp.asarray(objective.c, self.dtype)
+            lo = jnp.asarray(
+                np.maximum(objective.lo, -np.finfo(np.float32).max / 4), self.dtype
+            )
+            hi = jnp.asarray(
+                np.minimum(objective.hi, np.finfo(np.float32).max / 4), self.dtype
+            )
+        if self._solve_fused_jit is None:
+            self._solve_fused_jit = jax.jit(
+                self._solve_fused_impl, static_argnames=("n_iters", "interpret")
+            )
+        rho_v = jnp.asarray(
+            rho if rho is not None else self.options.rho, self.dtype
+        )
+        return self._solve_fused_jit(
+            c, lo, hi, rho_v, n_iters=int(iters), util=util, interpret=interpret
+        )
 
     # ---- full solve ---------------------------------------------------------
 

@@ -78,6 +78,36 @@ def test_fused_matches_classic_trajectory(alpha):
         )
 
 
+def test_solve_fused_matches_classic_fixed_iters():
+    """solve_fused(iters=k) == classic solve stopped at k+1 iterations
+    (the fused loop plus its one classic residual-harvest step)."""
+    table, obj = random_arbitrage_table(16, 256, seed=2)
+    compiled = compile_table(table, pad_pools_to=128)
+    k = 10
+    opts = AdmmOptions(
+        max_iters=k + 1, eps_abs=0.0, eps_rel=0.0, adapt_rho=False,
+        consensus="onehot",
+    )
+    solver = AdmmSolver(compiled, dtype=jnp.float32, options=opts)
+    res_c = solver.solve(obj)
+    res_f = solver.solve_fused(obj, iters=k, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(res_f.psi), np.asarray(res_c.psi), atol=2e-4
+    )
+    assert abs(float(res_f.r_norm) - float(res_c.r_norm)) < 2e-4
+    assert abs(float(res_f.s_norm) - float(res_c.s_norm)) < 2e-4
+    assert int(res_f.iters) == k + 1
+
+
+def test_solve_fused_rejects_unaligned():
+    table, obj = random_arbitrage_table(16, 100, seed=1)
+    solver = AdmmSolver(
+        compile_table(table), dtype=jnp.float32, options=AdmmOptions(max_iters=5)
+    )
+    with pytest.raises(ValueError, match="pad_pools_to=128"):
+        solver.solve_fused(obj, iters=3, interpret=True)
+
+
 def test_fused_requires_lane_aligned_pools():
     table, obj = random_arbitrage_table(16, 100, seed=1)
     compiled = compile_table(table)  # no pad_pools_to=128
