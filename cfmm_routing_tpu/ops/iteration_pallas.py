@@ -99,9 +99,14 @@ def _fused_kernel(K, kind, needs_floor, cfg, alpha, n_pad, refs):
             jax.lax.broadcasted_iota(jnp.int32, (n_pad, T), 0) == ids_row
         ).astype(jnp.float32)  # (n_pad, T)
         oh2.append(oh)
+        # HIGHEST precision is load-bearing: the default TPU matmul
+        # truncates f32 operands to bf16 on the MXU, which puts a ~2^-8
+        # relative error on every broadcast nu value and caps the whole
+        # ADMM at a 1e-2 residual floor (measured on hardware).
         ve = jax.lax.dot_general(
             v_row, oh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (1, T)
         ve = ve.reshape(rows, lanes) * M[c]
         P.append(sD[c] + ve)
@@ -149,6 +154,7 @@ def _fused_kernel(K, kind, needs_floor, cfg, alpha, n_pad, refs):
         y_acc = y_acc + jax.lax.dot_general(
             val.reshape(1, T), oh2[c], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     y_ref[:] += y_acc
 

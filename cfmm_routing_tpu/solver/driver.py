@@ -108,20 +108,37 @@ def _load_state(path: str, like):
 
 
 class ChunkedDriver:
-    """Host-side orchestration around an :class:`AdmmSolver`."""
+    """Host-side orchestration around an :class:`AdmmSolver`.
 
-    def __init__(self, solver: AdmmSolver, chunk: int = 200):
+    ``fused=True`` runs each chunk's first ``chunk - 1`` iterations on the
+    fused Pallas path (``AdmmSolver._iterate_fused``; ~2.5x throughput at
+    100k pools) and harvests residuals with one classic iteration per
+    chunk; requires lane-aligned pool counts (``pad_pools_to=128``/1024).
+    """
+
+    def __init__(self, solver: AdmmSolver, chunk: int = 200,
+                 fused: bool = False):
         self.solver = solver
         self.chunk = int(chunk)
-        self._chunk_jit = jax.jit(self._run_chunk)
+        self.fused = bool(fused)
+        if self.fused:
+            for name, arrs in solver.buckets.items():
+                if arrs["mask"].shape[1] % 128 != 0:
+                    raise ValueError(
+                        f"bucket {name!r}: fused chunks need pool counts "
+                        "that are multiples of 128 (pad_pools_to=128/1024)"
+                    )
+        self._chunk_jit = jax.jit(
+            self._run_chunk_fused if self.fused else self._run_chunk
+        )
 
     # one device dispatch = `chunk` ADMM iterations + residual summary
-    def _run_chunk(self, z, nu, rho, c, lo, hi):
+    def _run_chunk(self, z, nu, rho, c, lo, hi, util=None):
         sol = self.solver
 
         def body(i, st):
             z, nu, rho, _, _, _, _, _, _ = st
-            z, nu, psi, w, stats = sol._iterate(z, nu, rho, c, lo, hi)
+            z, nu, psi, w, stats = sol._iterate(z, nu, rho, c, lo, hi, util)
             return (z, nu, rho, stats["r2"], stats["s2"], stats["w_norm2"],
                     stats["z_norm2"], stats["u_norm2"], psi)
 
@@ -131,8 +148,35 @@ class ChunkedDriver:
         z, nu, rho, r2, s2, w2, z2, u2, psi = jax.lax.fori_loop(
             0, self.chunk, body, st
         )
-        obj = jnp.sum(c * psi)
+        obj = self._objective(c, psi, util)
         return z, nu, r2, s2, w2, z2, u2, psi, obj
+
+    def _run_chunk_fused(self, z, nu, rho, c, lo, hi, util=None):
+        sol = self.solver
+        # re-seed the fused state at the chunk boundary: z = s + 0_e
+        s = {name: (zD, zL) for name, (zD, zL) in z.items()}
+        wdef = jnp.zeros((sol.n,), sol.dtype)
+
+        def body(i, st):
+            s, wdef, nu = st
+            s, wdef, nu, _, _ = sol._iterate_fused(
+                s, wdef, nu, rho, c, lo, hi, util=util
+            )
+            return (s, wdef, nu)
+
+        s, wdef, nu = jax.lax.fori_loop(0, self.chunk - 1, body, (s, wdef, nu))
+        z = sol.fused_to_z(s, wdef)
+        z, nu, psi, w, stats = sol._iterate(z, nu, rho, c, lo, hi, util)
+        obj = self._objective(c, psi, util)
+        return (z, nu, stats["r2"], stats["s2"], stats["w_norm2"],
+                stats["z_norm2"], stats["u_norm2"], psi, obj)
+
+    def _objective(self, c, psi, util):
+        if util is None:
+            return jnp.sum(c * psi)
+        from ..ops.prox import utility_value
+
+        return utility_value(util, psi)
 
     def solve(
         self,
@@ -145,13 +189,27 @@ class ChunkedDriver:
         checkpoint_every: int = 1,
         resume: bool = False,
     ):
-        """Run until convergence / budget.  Returns (RouteResult, SolveLog)."""
+        """Run until convergence / budget.  Returns (RouteResult, SolveLog).
+
+        ``objective`` may be a linear :class:`Objective` or a
+        :class:`~cfmm_routing_tpu.models.utility.ConcaveUtility`."""
+        from ..models.utility import ConcaveUtility
+
         sol = self.solver
         opts = sol.options
         dtype = sol.dtype
-        c = jnp.asarray(objective.c, dtype)
-        lo = jnp.asarray(np.maximum(objective.lo, -np.finfo(np.float32).max / 4), dtype)
-        hi = jnp.asarray(np.minimum(objective.hi, np.finfo(np.float32).max / 4), dtype)
+        util = None
+        if isinstance(objective, ConcaveUtility):
+            util = objective.pack(dtype)
+            c, lo, hi = util.c, util.lo, util.hi
+        else:
+            c = jnp.asarray(objective.c, dtype)
+            lo = jnp.asarray(
+                np.maximum(objective.lo, -np.finfo(np.float32).max / 4), dtype
+            )
+            hi = jnp.asarray(
+                np.minimum(objective.hi, np.finfo(np.float32).max / 4), dtype
+            )
 
         z = {
             name: (
@@ -185,7 +243,7 @@ class ChunkedDriver:
         stall_chunks = 12  # no 30% residual progress in this many chunks
         while it < max_iters:
             z, nu, r2, s2, w2, z2, u2, psi, obj = self._chunk_jit(
-                z, nu, rho_v, c, lo, hi
+                z, nu, rho_v, c, lo, hi, util
             )
             it += self.chunk
             r = float(jnp.sqrt(r2))

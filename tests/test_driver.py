@@ -150,3 +150,56 @@ def test_warm_start_reconverges_fast():
         float(warm2.objective), float(cold2.objective), rtol=1e-6
     )
     assert int(warm2.iters) < int(cold2.iters)
+
+
+def test_fused_chunks_match_classic_chunks():
+    """fused=True drives the identical iteration; converged objective and
+    log shape must match the classic chunk body."""
+    spec, obj = arbitrage_instance()
+    solver = AdmmSolver(
+        compile_spec(spec, pad_pools_to=128), dtype=jnp.float32,
+        options=AdmmOptions(max_iters=10000, eps_abs=2e-6, eps_rel=2e-6),
+    )
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    classic = ChunkedDriver(solver, chunk=100)
+    res_c, log_c = classic.solve(obj, max_iters=4000)
+
+    fused = ChunkedDriver(solver, chunk=100, fused=True)
+    with pltpu.force_tpu_interpret_mode():
+        res_f, log_f = fused.solve(obj, max_iters=4000)
+    assert log_f.status == "converged"
+    np.testing.assert_allclose(
+        float(res_f.objective), float(res_c.objective), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_f.psi), np.asarray(res_c.psi), atol=1e-3
+    )
+
+
+def test_fused_chunks_reject_unaligned():
+    spec, obj = arbitrage_instance()
+    solver = AdmmSolver(compile_spec(spec), dtype=jnp.float64, options=OPTS)
+    with pytest.raises(ValueError, match="pad_pools_to"):
+        ChunkedDriver(solver, chunk=10, fused=True)
+
+
+def test_chunked_concave_utility():
+    """The driver accepts ConcaveUtility objectives and logs its values."""
+    from cfmm_routing_tpu.models.utility import ConcaveUtility
+
+    spec, obj = arbitrage_instance()
+    n = spec.n_assets
+    util = ConcaveUtility.linear(obj.c, lo=np.zeros(n))
+    for j in range(n):
+        util = util.with_log(j, float(obj.c[j]), 1.0).with_box(j, 0.0, 100.0)
+    solver = AdmmSolver(compile_spec(spec), dtype=jnp.float64, options=OPTS)
+    driver = ChunkedDriver(solver, chunk=200)
+    res, log = driver.solve(util, max_iters=20000)
+    assert log.status == "converged"
+    # matches the direct while_loop solve on the same utility
+    res_w = solver.solve(util)
+    np.testing.assert_allclose(
+        float(res.objective), float(res_w.objective), rtol=1e-7
+    )
