@@ -19,6 +19,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# Persistent XLA compilation cache: most suite time is CPU-backend compiles
+# of the jitted solver programs, which are identical across test runs.  The
+# cache lives in-repo (gitignored) so repeat runs skip compilation entirely.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 jax.config.update("jax_enable_x64", True)
 # NOTE: this environment force-registers a remote TPU backend via
 # sitecustomize and IGNORES `JAX_PLATFORMS=cpu`; pinning the default

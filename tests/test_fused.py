@@ -8,6 +8,7 @@ roundoff on every bucket kind.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from cfmm_routing_tpu.solver.admm import AdmmOptions, AdmmSolver
@@ -33,6 +34,17 @@ def test_fused_matches_classic_trajectory(alpha):
     hi = jnp.asarray(np.minimum(obj.hi, 3e38), jnp.float32)
     rho = jnp.float32(1.0)
 
+    # jit both step functions: eager interpret-mode Pallas dispatches every
+    # kernel op individually and is ~100x slower than one compiled program
+    classic_step = jax.jit(
+        lambda z, nu: solver._iterate(z, nu, rho, c, lo, hi)
+    )
+    fused_step = jax.jit(
+        lambda s, wdef, nu: solver._iterate_fused(
+            s, wdef, nu, rho, c, lo, hi, interpret=True
+        )
+    )
+
     # classic
     z = {
         name: (jnp.zeros_like(a["mask"]), jnp.zeros_like(a["mask"]))
@@ -41,15 +53,13 @@ def test_fused_matches_classic_trajectory(alpha):
     nu = jnp.zeros((n,), jnp.float32)
     classic = []
     for _ in range(N_STEPS):
-        z, nu, psi, w, _ = solver._iterate(z, nu, rho, c, lo, hi)
+        z, nu, psi, w, _ = classic_step(z, nu)
         classic.append((psi, nu, w))
 
     # fused (interpret mode on CPU)
     s, wdef, nuf = solver.fused_init()
     for k in range(N_STEPS):
-        s, wdef, nuf, psi_f, w_f = solver._iterate_fused(
-            s, wdef, nuf, rho, c, lo, hi, interpret=True
-        )
+        s, wdef, nuf, psi_f, w_f = fused_step(s, wdef, nuf)
         psi_c, nu_c, w_c = classic[k]
         np.testing.assert_allclose(
             np.asarray(psi_f), np.asarray(psi_c), atol=2e-4,
