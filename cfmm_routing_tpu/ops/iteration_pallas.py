@@ -12,9 +12,10 @@ State per bucket:  s = (sD, sL), evolving as  s' = alpha*w + (1-alpha)*s
       z(t) = s(t) + wdef(t)_e        (z the classic ADMM edge state)
 
   holds with an O(n) *deferred broadcast* vector recursion
-  wdef(t+1) = (1-alpha)*wdef(t) + (nu(t) - mu(t)) maintained by the host
-  (solver/fast.py).  Substituting into the classic iteration, the
-  projection input needs only  v = wdef - nu  broadcast once:
+  wdef(t+1) = (1-alpha)*wdef(t) + (nu(t) - mu(t)) maintained outside the
+  kernel (solver/admm.py `_iterate_fused`).  Substituting into the classic
+  iteration, the projection input needs only  v = wdef - nu  broadcast
+  once:
 
       p = sD + v_e,   q = sL - v_e,      (D, L) = Proj_T(p, q)
 
@@ -22,11 +23,34 @@ State per bucket:  s = (sD, sL), evolving as  s' = alpha*w + (1-alpha)*s
       y_arrays = reduce(alpha*(L-D) + (1-alpha)*(sL-sD))
   (the deferred part contributes -2*(1-alpha)*degree*wdef in O(n)).
 
-So ONE kernel launch per bucket per iteration does: build the slot->asset
-one-hot ONCE in VMEM, apply it twice as MXU matmuls (gather v, scatter
-the reduction), run the closed-form projection root-find — with total
-HBM traffic of ~4 planes read + 4 written per tile.  Equivalence with
-the classic path is tested trajectory-exactly in tests/test_fused.py.
+Consensus exchange inside the kernel — RADIX-128 DECOMPOSITION.  The
+slot->asset map is factored through the TPU lane structure: asset id
+a = 128*hi + lo.  Per channel the kernel builds TWO small one-hots,
+
+    oh_lo (128, T)   oh_lo[l, t] = [lo_t == l]
+    oh_hi (H, T)     oh_hi[h, t] = [hi_t == h],    H = n_pad / 128,
+
+instead of one (n_pad, T) one-hot.  The broadcast of the price vector
+v2d (H, 128) is  M = v2d @ oh_lo  (H, T) followed by an H-row select
+(sum over oh_hi * M); the reduction is  y2d += (oh_hi * val) @ oh_lo^T
+(H, 128).  VMEM for the exchange is therefore (128 + 2H) * T * 4 bytes
+per channel — INDEPENDENT of n for the dominant lo factor — versus
+n_pad * T * 4 for the dense one-hot, which VMEM-OOMed at the 100k-pool
+bench config (n_pad=256, K=4 blew the 16 MB scoped limit) and scaled
+linearly in n.  MXU flops are unchanged (2*E*n_pad per apply) but ride
+128-wide systolic passes either way; the VPU one-hot build cost drops
+from E*n_pad to E*(128 + H) compares.
+
+A VMEM budget model (`_pick_tile_rows`) sizes the grid tile so the
+per-step footprint stays under ~8 MB of the 16 MB scoped limit, instead
+of the fixed 1024-pool tile that shipped the round-1 OOM.
+
+So ONE kernel launch per bucket per iteration does: build the two radix
+one-hots ONCE per channel in VMEM, apply them twice as MXU matmuls
+(gather v, scatter the reduction), run the closed-form projection
+root-find — with total HBM traffic of ~4 planes read + 4 written per
+tile.  Equivalence with the classic path is tested trajectory-exactly in
+tests/test_fused.py (interpret) and tests/test_tpu_compiled.py (on TPU).
 
 Shapes: s/D/L (K, m) slot-major, m % 128 == 0 (compile with
 pad_pools_to=128); v/y are (n_pad,) with n_pad = ceil(n/128)*128.
@@ -51,8 +75,27 @@ from .projection_pallas import (
 __all__ = ["fused_step"]
 
 _LANES = 128
-FUSED_TILE = 1024  # pools per grid step (smaller than projection-only:
-                   # the per-channel one-hot (T, n_pad) must fit in VMEM)
+# target VMEM footprint per grid step; the scoped limit is 16 MB and the
+# Mosaic compiler needs headroom for spills/double-buffering
+_VMEM_BUDGET = 8 << 20
+
+
+def _pick_tile_rows(rows: int, K: int, H: int) -> int:
+    """Largest legal sublane tile under the VMEM budget.
+
+    Legality (Mosaic): the block's sublane extent must be a multiple of 8
+    or equal to the whole array.  Budget model per tile row (128 slots),
+    per channel: radix one-hots + M temp (128 + 2*He)*128*4 bytes with
+    He = max(H, 8) (sublane padding), plus ~24 (tr,128) f32 temporaries
+    per channel for in/out tiles and the root-find, plus slack.
+    """
+    He = max(H, 8)
+    per_row = 128 * 4 * (K * (128 + 2 * He) + 24 * K + 8)
+    cap = max(1, _VMEM_BUDGET // per_row)
+    for t in range(min(cap, rows), 0, -1):
+        if rows % t == 0 and (t % 8 == 0 or t == rows):
+            return t
+    return 0
 
 
 def _gm_bracket(ch, gamma, k0):
@@ -68,10 +111,10 @@ def _gm_bracket(ch, gamma, k0):
     return 4.0 * mu_hi + 1.0
 
 
-def _fused_kernel(K, kind, needs_floor, cfg, alpha, n_pad, refs):
+def _fused_kernel(K, kind, needs_floor, cfg, alpha, H, refs):
     """refs in: sD_c[K], sL_c[K], ids_c[K], R_c[K], w_c[K], sh_c[K],
-    mask_c[K], gamma, logk0, k0, v(1,n_pad)
-    out: sD'_c[K], sL'_c[K], D_c[K], L_c[K], y(1,n_pad)"""
+    mask_c[K], gamma, logk0, k0, v2d(H,128)
+    out: sD'_c[K], sL'_c[K], D_c[K], L_c[K], y2d(H,128)"""
     nin = 7 * K + 4
     ins, outs = refs[:nin], refs[nin:]
     sD = [ins[c][:] for c in range(K)]
@@ -84,30 +127,38 @@ def _fused_kernel(K, kind, needs_floor, cfg, alpha, n_pad, refs):
     gamma = ins[7 * K][:]
     logk0 = ins[7 * K + 1][:]
     k0 = ins[7 * K + 2][:]
-    v_row = ins[7 * K + 3][:]  # (1, n_pad)
+    v2d = ins[7 * K + 3][:]  # (H, 128) price vector, radix layout
 
     rows, lanes = sD[0].shape
     T = rows * lanes
     a = jnp.float32(alpha)
 
-    # one one-hot per channel, built once, applied twice on the MXU
-    oh2 = []
+    # radix one-hots per channel, built once, applied twice on the MXU
+    radix = []
     P, Q = [], []
     for c in range(K):
         ids_row = IDS[c].reshape(1, T)
-        oh = (
-            jax.lax.broadcasted_iota(jnp.int32, (n_pad, T), 0) == ids_row
-        ).astype(jnp.float32)  # (n_pad, T)
-        oh2.append(oh)
+        lo_row = jax.lax.rem(ids_row, jnp.int32(_LANES))
+        hi_row = jax.lax.div(ids_row, jnp.int32(_LANES))
+        oh_lo = (
+            jax.lax.broadcasted_iota(jnp.int32, (_LANES, T), 0) == lo_row
+        ).astype(jnp.float32)  # (128, T)
+        oh_hi = (
+            jax.lax.broadcasted_iota(jnp.int32, (H, T), 0) == hi_row
+        ).astype(jnp.float32)  # (H, T)
+        radix.append((oh_lo, oh_hi))
         # HIGHEST precision is load-bearing: the default TPU matmul
         # truncates f32 operands to bf16 on the MXU, which puts a ~2^-8
         # relative error on every broadcast nu value and caps the whole
         # ADMM at a 1e-2 residual floor (measured on hardware).
-        ve = jax.lax.dot_general(
-            v_row, oh, (((1,), (0,)), ((), ())),
+        # Mrow[h, t] = v2d[h, lo_t]
+        Mrow = jax.lax.dot_general(
+            v2d, oh_lo, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (1, T)
+        )  # (H, T)
+        # select the high digit: ve[t] = Mrow[hi_t, t]
+        ve = jnp.sum(oh_hi * Mrow, axis=0, keepdims=True)  # (1, T)
         ve = ve.reshape(rows, lanes) * M[c]
         P.append(sD[c] + ve)
         Q.append(sL[c] - ve)
@@ -143,7 +194,7 @@ def _fused_kernel(K, kind, needs_floor, cfg, alpha, n_pad, refs):
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
-    y_acc = jnp.zeros((1, n_pad), jnp.float32)
+    y_acc = jnp.zeros((H, _LANES), jnp.float32)
     for c in range(K):
         D, L = Ds[c], Ls[c]
         outs[c][:] = a * D + (1.0 - a) * sD[c]          # sD'
@@ -151,8 +202,11 @@ def _fused_kernel(K, kind, needs_floor, cfg, alpha, n_pad, refs):
         outs[2 * K + c][:] = D
         outs[3 * K + c][:] = L
         val = a * (L - D) + (1.0 - a) * (sL[c] - sD[c])
+        oh_lo, oh_hi = radix[c]
+        G = oh_hi * val.reshape(1, T)  # (H, T): per-slot value in its hi row
+        # y2d[h, l] += sum_t G[h, t] * oh_lo[l, t]
         y_acc = y_acc + jax.lax.dot_general(
-            val.reshape(1, T), oh2[c], (((1,), (1,)), ((), ())),
+            G, oh_lo, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -163,7 +217,6 @@ def fused_step(
     sD, sL, v, arrs, kind, needs_floor,
     alpha: float,
     cfg: ProjectionConfig = ProjectionConfig(),
-    tile: int = FUSED_TILE,
     interpret: bool = False,
 ):
     """One fused half-iteration for one bucket.
@@ -176,18 +229,14 @@ def fused_step(
     assert m % _LANES == 0, f"pool count {m} must be a multiple of {_LANES}"
     n_pad = v.shape[0]
     assert n_pad % _LANES == 0
+    H = n_pad // _LANES
     rows = m // _LANES
-    # Mosaic requires the block's sublane extent to be a multiple of 8 or
-    # the whole array: pick the largest such divisor of `rows`.
-    tile_rows = 0
-    for t in range(min(tile // _LANES, rows), 0, -1):
-        if rows % t == 0 and (t % 8 == 0 or t == rows):
-            tile_rows = t
-            break
-    if tile_rows == 0 or (tile_rows == rows and rows > 4 * (tile // _LANES)):
+    tile_rows = _pick_tile_rows(rows, K, H)
+    if tile_rows == 0:
         raise ValueError(
-            f"pool count {m} gives {rows} sublane rows with no TPU-legal "
-            "tile; compile with pad_pools_to=1024 for the fused path"
+            f"bucket (K={K}, m={m}, n_pad={n_pad}) has no TPU-legal tile "
+            "under the VMEM budget; compile with pad_pools_to=1024 or use "
+            "the classic path for this asset-universe size"
         )
     grid = (rows // tile_rows,)
 
@@ -201,20 +250,20 @@ def fused_step(
     for key in ("R", "w", "s", "mask"):
         inputs.extend(chan(arrs[key][c]) for c in range(K))
     inputs.extend([chan(arrs["gamma"]), chan(arrs["logk0"]), chan(arrs["k0"])])
-    inputs.append(v.reshape(1, n_pad))
+    inputs.append(v.reshape(H, _LANES))
 
     block = pl.BlockSpec(
         (tile_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    vec_block = pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vec_block = pl.BlockSpec((H, _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM)
     in_specs = [block] * (7 * K + 3) + [vec_block]
     out_specs = [block] * (4 * K) + [vec_block]
     out_shape = [jax.ShapeDtypeStruct((rows, _LANES), sD.dtype)] * (4 * K) + [
-        jax.ShapeDtypeStruct((1, n_pad), sD.dtype)
+        jax.ShapeDtypeStruct((H, _LANES), sD.dtype)
     ]
 
     kernel = functools.partial(
-        _fused_kernel, K, kind, needs_floor, cfg, alpha, n_pad
+        _fused_kernel, K, kind, needs_floor, cfg, alpha, H
     )
 
     def kfn(*refs):
@@ -230,7 +279,7 @@ def fused_step(
         out_specs=out_specs,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * E * n_pad + 60 * steps * E,
+            flops=4 * E * n_pad + 60 * steps * E,
             bytes_accessed=4 * (11 * E + 2 * n_pad),
             transcendentals=(steps + 2) * E,
         ),

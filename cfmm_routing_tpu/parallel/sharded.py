@@ -69,17 +69,13 @@ class ShardedAdmmSolver:
             deltas={n: P(None, "pools") for n in compiled.buckets},
             lambdas={n: P(None, "pools") for n in compiled.buckets},
             iters=P(), r_norm=P(), s_norm=P(), converged=P(),
+            rho_final=P(),
         )
 
         def _sharded_solve(buckets, c, lo, hi, rho):
-            # rebind the inner solver's device arrays to the local shards
-            # for the duration of the trace
-            saved = self.inner.buckets
-            self.inner.buckets = buckets
-            try:
-                return self.inner._solve_impl(c, lo, hi, rho)
-            finally:
-                self.inner.buckets = saved
+            # each device's LOCAL bucket shards enter the solve as traced
+            # arguments (no Python-side state swapping during trace)
+            return self.inner._solve_impl(c, lo, hi, rho, buckets=buckets)
 
         self._solve_sharded = jax.jit(
             jax.shard_map(
@@ -96,21 +92,18 @@ class ShardedAdmmSolver:
             # x pools (inner, psum-coupled).  Each device runs B/D_batch
             # vmapped solves over its m/D_pools pool shard.
             def _sharded_solve_batch(buckets, c, lo, hi, rho):
-                saved = self.inner.buckets
-                self.inner.buckets = buckets
-                try:
-                    return jax.vmap(
-                        self.inner._solve_impl, in_axes=(0, 0, 0, None)
-                    )(c, lo, hi, rho)
-                finally:
-                    self.inner.buckets = saved
+                return jax.vmap(
+                    lambda cb, lob, hib: self.inner._solve_impl(
+                        cb, lob, hib, rho, buckets=buckets
+                    )
+                )(c, lo, hi)
 
             batch_out = RouteResult(
                 objective=P("batch"), psi=P("batch"), prices=P("batch"),
                 deltas={n_: P("batch", None, "pools") for n_ in compiled.buckets},
                 lambdas={n_: P("batch", None, "pools") for n_ in compiled.buckets},
                 iters=P("batch"), r_norm=P("batch"), s_norm=P("batch"),
-                converged=P("batch"),
+                converged=P("batch"), rho_final=P("batch"),
             )
             self._solve_sharded_batch = jax.jit(
                 jax.shard_map(

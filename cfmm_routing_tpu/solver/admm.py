@@ -84,6 +84,8 @@ class RouteResult(NamedTuple):
     r_norm: jax.Array  # final primal residual norm
     s_norm: jax.Array  # final dual residual norm
     converged: jax.Array
+    rho_final: jax.Array  # penalty at exit (may differ from options.rho
+    #                       after adaptation; prices == rho_final * nu)
 
 
 def _bucket_device_arrays(compiled: CompiledProblem, dtype):
@@ -219,8 +221,8 @@ class AdmmSolver:
         ).astype(self.dtype)
         return oh_lo, oh_hi, H
 
-    def _bcast_nu(self, nu, name):
-        arrs = self.buckets[name]
+    def _bcast_nu(self, nu, name, buckets=None):
+        arrs = (self.buckets if buckets is None else buckets)[name]
         K, m = arrs["mask"].shape
         if self.consensus == "onehot":
             oh = self._onehot(arrs["asset"])
@@ -238,9 +240,9 @@ class AdmmSolver:
             return out.reshape(K, m) * arrs["mask"]
         return nu[arrs["asset"]] * arrs["mask"]
 
-    def _reduce_edges(self, vals, name):
+    def _reduce_edges(self, vals, name, buckets=None):
         """sum_{slots with asset j} vals -> (n,).  vals must be pre-masked."""
-        arrs = self.buckets[name]
+        arrs = (self.buckets if buckets is None else buckets)[name]
         if self.consensus == "onehot":
             oh = self._onehot(arrs["asset"])
             vals_c = self._chunked(vals.reshape(-1), 0.0)
@@ -270,29 +272,36 @@ class AdmmSolver:
             pD, pL, arrs["R"], arrs["gamma"], arrs["k0"], arrs["mask"], cfg=cfg
         )
 
-    def _iterate(self, z, nu, rho, c, lo, hi, util=None):
+    def _iterate(self, z, nu, rho, c, lo, hi, util=None, buckets=None):
         """One ADMM iteration. Returns (z_new, nu_new, psi, w, stats).
 
         ``util`` (a PackedUtility pytree) switches the consensus prox from
         the linear closed form to the general separable-concave one; the
         bucket-side work is identical.
 
+        ``buckets`` overrides the solver's device bucket arrays — the
+        sharded path (parallel/sharded.py) passes each device's LOCAL
+        shard through here as a traced argument, so the same method body
+        serves single-device and shard_map execution with no Python-side
+        state swapping.
+
         z / w are dicts name -> (D, L) pairs of (K, m) arrays — two flat
         slot-major planes, never a trailing length-2 axis (which would put
         2 of 128 lanes to work on every elementwise op)."""
+        buckets = self.buckets if buckets is None else buckets
         alpha = jnp.asarray(self.options.alpha, self.dtype)
         w_hat = {}
         w_norm2 = jnp.zeros((), self.dtype)
         yhat = jnp.zeros((self.n,), self.dtype)
-        for name, arrs in self.buckets.items():
-            nu_e = self._bcast_nu(nu, name)
+        for name, arrs in buckets.items():
+            nu_e = self._bcast_nu(nu, name, buckets)
             zD, zL = z[name]
             D, L = self._project(name, arrs, zD - nu_e, zL + nu_e)
             w_norm2 += jnp.sum(D * D) + jnp.sum(L * L)
             hD = alpha * D + (1.0 - alpha) * zD
             hL = alpha * L + (1.0 - alpha) * zL
             w_hat[name] = (D, L, hD, hL)
-            yhat = yhat + self._reduce_edges(hL - hD, name)
+            yhat = yhat + self._reduce_edges(hL - hD, name, buckets)
 
         yhat = self._psum(yhat)
         s = yhat - 2.0 * self.degree * nu
@@ -308,9 +317,9 @@ class AdmmSolver:
         r2 = jnp.zeros((), self.dtype)
         s2 = jnp.zeros((), self.dtype)
         z_norm2 = jnp.zeros((), self.dtype)
-        for name, arrs in self.buckets.items():
+        for name, arrs in buckets.items():
             D, L, hD, hL = w_hat[name]
-            dmu = self._bcast_nu(nu - mu, name)
+            dmu = self._bcast_nu(nu - mu, name, buckets)
             znD = hD + dmu
             znL = hL - dmu
             zD, zL = z[name]
@@ -440,6 +449,7 @@ class AdmmSolver:
             r_norm=r,
             s_norm=sd,  # st["s2"] is already rho-scaled inside _iterate
             converged=jnp.logical_and(r <= eps_pri, sd <= eps_dua),
+            rho_final=rho,
         )
 
     def solve_fused(
@@ -490,12 +500,21 @@ class AdmmSolver:
 
     # ---- full solve ---------------------------------------------------------
 
-    def _solve_impl(self, c, lo, hi, rho0, z0=None, nu0=None, util=None):
+    def _solve_impl(self, c, lo, hi, rho0, z0=None, nu0=None, util=None,
+                    buckets=None):
         opts = self.options
+        buckets = self.buckets if buckets is None else buckets
         n_edges = sum(
-            2 * int(np.prod(b["mask"].shape)) for b in self.buckets.values()
+            2 * int(np.prod(b["mask"].shape)) for b in buckets.values()
         )
-        sqn = jnp.asarray(np.sqrt(n_edges), self.dtype)
+        # under shard_map the bucket arrays are per-device shards; the
+        # residual norms are psum'd globally, so the eps scale must use the
+        # GLOBAL edge count for sharded == single-device stopping parity
+        n_shards = (
+            1.0 if self.axis_name is None
+            else jax.lax.psum(jnp.ones((), self.dtype), self.axis_name)
+        )
+        sqn = jnp.sqrt(jnp.asarray(n_edges, self.dtype) * n_shards)
         c = c.astype(self.dtype)
         lo = lo.astype(self.dtype)
         hi = hi.astype(self.dtype)
@@ -506,7 +525,7 @@ class AdmmSolver:
                     jnp.zeros(arrs["mask"].shape, self.dtype),
                     jnp.zeros(arrs["mask"].shape, self.dtype),
                 )
-                for name, arrs in self.buckets.items()
+                for name, arrs in buckets.items()
             }
         if nu0 is None:
             nu0 = jnp.zeros((self.n,), self.dtype)
@@ -520,7 +539,9 @@ class AdmmSolver:
 
         def body(state):
             k, z, nu, rho, _, _, _, _, _, _ = state
-            z, nu, psi, w, st = self._iterate(z, nu, rho, c, lo, hi, util)
+            z, nu, psi, w, st = self._iterate(
+                z, nu, rho, c, lo, hi, util, buckets
+            )
             r = jnp.sqrt(st["r2"])
             sd = jnp.sqrt(st["s2"])
             eps_pri = opts.eps_abs * sqn + opts.eps_rel * jnp.sqrt(
@@ -577,6 +598,7 @@ class AdmmSolver:
             r_norm=r,
             s_norm=sd,
             converged=converged,
+            rho_final=rho,
         )
 
     def warm_state(self, result: RouteResult, rho: Optional[float] = None):
@@ -585,7 +607,14 @@ class AdmmSolver:
         The reference re-canonicalizes from scratch on every solve
         (``two-asset.py:40-91``); here a prior route on the same network
         seeds the next solve (drifted reserves/prices converge in a
-        handful of iterations instead of hundreds)."""
+        handful of iterations instead of hundreds).
+
+        ``rho`` must be the penalty the NEXT solve will run at (solve()
+        passes its own rho here).  The unscaled dual is penalty-free —
+        y == prices == rho_final * nu — so the scaled dual for the new
+        penalty is prices / rho_new; the prior solve's (possibly adapted)
+        rho_final cancels out and is recorded on the result only for
+        diagnostics."""
         rho = float(rho if rho is not None else self.options.rho)
         nu0 = jnp.asarray(np.asarray(result.prices) / rho, self.dtype)
         # at the ADMM fixed point z == w exactly (dmu -> 0), so the edge

@@ -246,14 +246,16 @@ class ChunkedDriver:
                 z, nu, rho_v, c, lo, hi, util
             )
             it += self.chunk
+            # _iterate returns s2 and u2 already multiplied by rho^2
+            # (admm.py stats) — do NOT scale by rho again here
             r = float(jnp.sqrt(r2))
-            s = float(jnp.sqrt(s2)) * float(rho_v)
+            s = float(jnp.sqrt(s2))
             eps_pri = opts.eps_abs * sqn + opts.eps_rel * float(
                 np.sqrt(max(float(w2), float(z2)))
             )
             eps_dua = opts.eps_abs * sqn + opts.eps_rel * float(
                 np.sqrt(float(u2))
-            ) * float(rho_v)
+            )
             rec = ChunkRecord(
                 iteration=it, r_norm=r, s_norm=s, eps_pri=eps_pri,
                 eps_dua=eps_dua, rho=float(rho_v), objective=float(obj),
@@ -311,6 +313,7 @@ class ChunkedDriver:
             r_norm=jnp.asarray(r, dtype),
             s_norm=jnp.asarray(s, dtype),
             converged=jnp.asarray(converged),
+            rho_final=rho_v,
         )
         log.status = status
         return result, log
