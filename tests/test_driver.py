@@ -75,6 +75,47 @@ def test_checkpoint_resume(tmp_path):
     )
 
 
+def test_chunked_stops_like_whileloop_at_rho_neq_1():
+    """Regression for the double-rho dual-residual bug (round 1): _iterate
+    returns s2/u2 already rho^2-scaled; the driver must NOT scale by rho
+    again.  At rho0=5 with eps_rel=0 the bug inflated the reported dual
+    residual 5x, so the chunked driver kept iterating long after the
+    while_loop path had converged."""
+    spec, obj = arbitrage_instance()
+    opts = AdmmOptions(
+        max_iters=30000, eps_abs=1e-8, eps_rel=0.0, rho=5.0, adapt_rho=False
+    )
+    solver = AdmmSolver(compile_spec(spec), dtype=jnp.float64, options=opts)
+    res_w = solver.solve(obj)
+    assert bool(res_w.converged)
+
+    driver = ChunkedDriver(solver, chunk=25)
+    res_c, log = driver.solve(obj, max_iters=30000)
+    assert log.status == "converged"
+    # identical trajectory (fixed rho): the chunked stop lands within one
+    # chunk of the while_loop's stopping iteration
+    assert int(res_c.iters) <= int(res_w.iters) + 25
+    np.testing.assert_allclose(
+        float(res_c.objective), float(res_w.objective), rtol=1e-8
+    )
+    np.testing.assert_allclose(float(res_c.objective), 21.499805, rtol=1e-6)
+
+
+def test_chunked_converges_with_rho_adaptation_from_rho5():
+    """rho adaptation between chunks (rho0 far from 1) still converges to
+    the pinned optimum and reports rho_final on the result."""
+    spec, obj = arbitrage_instance()
+    opts = AdmmOptions(
+        max_iters=30000, eps_abs=1e-9, eps_rel=1e-9, rho=5.0,
+        adapt_rho=True, adapt_ratio=5.0,
+    )
+    solver = AdmmSolver(compile_spec(spec), dtype=jnp.float64, options=opts)
+    res, log = ChunkedDriver(solver, chunk=50).solve(obj, max_iters=30000)
+    assert log.status == "converged"
+    np.testing.assert_allclose(float(res.objective), 21.499805, rtol=1e-6)
+    assert float(res.rho_final) > 0.0
+
+
 def test_f32_stall_detection():
     """f32 solve with f64-grade tolerances must stop with 'stalled', not
     burn the whole budget cycling at its noise floor."""

@@ -88,6 +88,28 @@ def test_fused_matches_classic_trajectory(alpha):
         )
 
 
+def test_fused_radix_matches_classic_large_asset_universe():
+    """n_assets=1024 (H=8 radix rows): the kernel's radix-128 exchange and
+    the classic path's 'radix' consensus mode must stay trajectory-equal.
+    This is the config class whose dense one-hot predecessor VMEM-OOMed."""
+    table, obj = random_arbitrage_table(1024, 256, seed=5)
+    compiled = compile_table(table, pad_pools_to=128)
+    k = 6
+    opts = AdmmOptions(
+        max_iters=k + 1, eps_abs=0.0, eps_rel=0.0, adapt_rho=False,
+        consensus="radix",
+    )
+    solver = AdmmSolver(compiled, dtype=jnp.float32, options=opts)
+    res_c = solver.solve(obj)
+    res_f = solver.solve_fused(obj, iters=k, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(res_f.psi), np.asarray(res_c.psi), atol=3e-4
+    )
+    np.testing.assert_allclose(
+        float(res_f.objective), float(res_c.objective), rtol=1e-4, atol=1e-3
+    )
+
+
 def test_solve_fused_matches_classic_fixed_iters():
     """solve_fused(iters=k) == classic solve stopped at k+1 iterations
     (the fused loop plus its one classic residual-harvest step)."""
