@@ -75,9 +75,13 @@ from .projection_pallas import (
 __all__ = ["fused_step"]
 
 _LANES = 128
-# target VMEM footprint per grid step; the scoped limit is 16 MB and the
-# Mosaic compiler needs headroom for spills/double-buffering
-_VMEM_BUDGET = 8 << 20
+# Target VMEM footprint per grid step.  The scoped limit is 16 MB, but the
+# model below deliberately books only a quarter of it: measured on v5e,
+# Mosaic's actual stack allocation runs ~3x the model (transposed copies
+# of the one-hots for the scatter-side dot_general, double-buffered I/O
+# tiles, root-find spills) — a (32,128)-tile K=2 step modeled at 5.6 MB
+# compiled to a 16.78 MB scoped allocation and OOMed the 100k-pool bench.
+_VMEM_BUDGET = 4 << 20
 
 
 def _pick_tile_rows(rows: int, K: int, H: int) -> int:

@@ -1,0 +1,110 @@
+"""Host f64 refinement: polish an f32 (TPU) solve to a certified 1e-6 gap.
+
+The reference gets ~1e-8 certified optimality from ECOS's primal-dual
+interior-point method (behind ``/root/reference/arbitrage.py:82``).  The
+TPU path solves in f32 (v5e-class chips have no native f64) and bottoms
+out at a ~1e-4..1e-3 relative gap — good enough for routing, not for
+certification.  This module closes the rest on host:
+
+    f32 TPU solve  ->  warm-start the SAME consensus-ADMM in float64 on
+    the CPU backend  ->  run until the rigorous dual certificate
+    (:mod:`.certify`) reports ``gap_rel <= target``.
+
+Because the f32 iterate is already within ~1e-3 of the fixed point, the
+f64 polish typically needs a small fraction of the cold-start iteration
+count (the warm-start machinery is :meth:`AdmmSolver.warm_state`).
+
+x64 handling: JAX's f64 support is a process-global flag.  ``refine``
+flips it on for the duration of the polish, pins all work to the CPU
+backend (f64 programs must NEVER reach the TPU — they hang the remote
+worker), converts every returned array to numpy, and restores the flag —
+so it is safe to call from an f32 TPU session.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .admm import AdmmOptions, AdmmSolver, RouteResult
+from .certify import Certificate, certify
+from .compiler import CompiledProblem
+
+__all__ = ["RefineResult", "refine"]
+
+
+@dataclasses.dataclass
+class RefineResult:
+    """Certified f64 polish of a candidate routing."""
+
+    result: RouteResult  # numpy leaves (host)
+    certificate: Certificate
+    iters: int  # total f64 polish iterations
+    achieved: bool  # certificate.gap_rel <= target
+
+
+# tightening schedule: each stage warm-starts from the previous one's
+# iterate, so later stages only run if the certificate is still loose
+_EPS_SCHEDULE = (1e-9, 1e-11, 5e-13)
+
+
+def _to_host(res: RouteResult) -> RouteResult:
+    return jax.tree_util.tree_map(np.asarray, res)
+
+
+def refine(
+    compiled: CompiledProblem,
+    objective,
+    result: RouteResult,
+    target_gap: float = 1e-6,
+    max_iters: int = 200_000,
+    options: Optional[AdmmOptions] = None,
+) -> RefineResult:
+    """Polish ``result`` (typically an f32 TPU solve) to a certified gap.
+
+    ``objective`` is the same :class:`Objective`/:class:`ConcaveUtility`
+    the original solve used.  Returns host-side (numpy) arrays only.
+    """
+    base = options if options is not None else AdmmOptions()
+    x64_was = bool(jax.config.jax_enable_x64)
+    if not x64_was:
+        jax.config.update("jax_enable_x64", True)
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            # move the warm state to host BEFORE building f64 programs so
+            # no f32 TPU buffer is captured in an f64 trace
+            cur = _to_host(result)
+            total = 0
+            cert = None
+            for eps in _EPS_SCHEDULE:
+                opts = dataclasses.replace(
+                    base,
+                    eps_abs=eps,
+                    eps_rel=eps,
+                    max_iters=int(max_iters),
+                )
+                solver = AdmmSolver(compiled, dtype=jnp.float64, options=opts)
+                res = solver.solve(objective, warm=cur)
+                total += int(res.iters)
+                cur = _to_host(res)
+                cert = certify(
+                    compiled,
+                    objective,
+                    cur.deltas,
+                    cur.lambdas,
+                    cur.prices,
+                    psi_claimed=cur.psi,
+                )
+                if cert.gap_rel <= target_gap and cert.feasibility <= target_gap:
+                    return RefineResult(
+                        result=cur, certificate=cert, iters=total, achieved=True
+                    )
+            return RefineResult(
+                result=cur, certificate=cert, iters=total, achieved=False
+            )
+    finally:
+        if not x64_was:
+            jax.config.update("jax_enable_x64", False)
