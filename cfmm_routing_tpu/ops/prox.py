@@ -40,7 +40,8 @@ import jax.numpy as jnp
 
 __all__ = ["psi_prox", "PackedUtility", "utility_prox", "utility_value"]
 
-_POWER_NEWTON_ITERS = 24
+_POWER_BISECT_ITERS = 42
+_POWER_NEWTON_ITERS = 6
 
 
 class PackedUtility(NamedTuple):
@@ -76,23 +77,51 @@ def psi_prox(s, degree, c, lo, hi, rho):
 
 
 def _power_root(w, t, cf, p, tiny):
-    """Root of  g(y) = w*(y - t) - cf * y^(p-1)  over y > 0.
+    """Root of  g(y) = w*(y - t) - cf * y^(p-1)  over y > 0  (0 < p < 1).
 
-    g is increasing and concave in y (0 < p < 1, cf >= 0), so every Newton
-    tangent crosses zero at or BELOW the root and the iteration converges
-    monotonically upward — no safeguards needed beyond a positive floor.
+    Bracketed geometric bisection + safeguarded Newton polish.  A plain
+    Newton is NOT safe here: g is concave, so a tangent step from the
+    right of the root lands BELOW it — potentially at <= 0, where the
+    y^(p-1) overflow freezes the iterate at the positive floor and the
+    prox silently returns a wrong fixed point (observed at small rho,
+    i.e. small w, with t < 0).  All extreme powers are evaluated in log
+    space with clipped exponents so the bracket is finite in f32 too.
+
+    Bracket validity: y* <= HI := max(2t, (2 cf/w)^{1/(2-p)}) — if
+    y* > 2t >= 0 then w(y*-t) >= w y*/2, so y*^{2-p} <= 2cf/w; and
+    y* >= LO := (cf / (w (HI - t)))^{1/(1-p)} — from
+    cf y*^{p-1} = w (y* - t) <= w (HI - t).
     """
-    y = jnp.maximum(t, tiny) + (cf / w) ** (1.0 / (2.0 - p))
-    y = jnp.maximum(y, tiny)
+    cf_s = jnp.maximum(cf, jnp.asarray(1e-30, w.dtype))
+    # log-space clip keeps every power finite in f32 (exp(+-76) ~ 1e33)
+    lim = jnp.asarray(76.0, w.dtype)
 
-    def step(y, _):
-        yp = y ** (p - 1.0)
-        g = w * (y - t) - cf * yp
-        gp = w + cf * (1.0 - p) * yp / y
-        y = jnp.maximum(y - g / gp, tiny)
-        return y, None
+    def _pow(base, expo):
+        return jnp.exp(jnp.clip(expo * jnp.log(base), -lim, lim))
 
-    y, _ = jax.lax.scan(step, y, None, length=_POWER_NEWTON_ITERS)
+    hi = jnp.maximum(2.0 * jnp.maximum(t, 0.0), _pow(2.0 * cf_s / w, 1.0 / (2.0 - p)))
+    hi = jnp.maximum(hi, tiny)
+    lo = _pow(cf_s / (w * jnp.maximum(hi - t, tiny)), 1.0 / (1.0 - p))
+    lo = jnp.clip(lo, tiny, hi)
+
+    def g_of(y):
+        return w * (y - t) - cf_s * _pow(y, p - 1.0)
+
+    def bstep(carry, _):
+        lo, hi = carry
+        mid = jnp.sqrt(lo) * jnp.sqrt(hi)  # geometric midpoint, overflow-safe
+        up = g_of(mid) < 0
+        return (jnp.where(up, mid, lo), jnp.where(up, hi, mid)), None
+
+    (lo, hi), _ = jax.lax.scan(bstep, (lo, hi), None, length=_POWER_BISECT_ITERS)
+
+    def nstep(y, _):
+        yp = cf_s * _pow(y, p - 1.0)
+        g = w * (y - t) - yp
+        gp = w + (1.0 - p) * yp / y
+        return jnp.clip(y - g / gp, lo, hi), None
+
+    y, _ = jax.lax.scan(nstep, hi, None, length=_POWER_NEWTON_ITERS)
     return y
 
 

@@ -48,15 +48,21 @@ __all__ = ["AdmmOptions", "AdmmSolver", "RouteResult"]
 @dataclasses.dataclass(frozen=True)
 class AdmmOptions:
     rho: float = 1.0
-    alpha: float = 1.7  # over-relaxation in [1.0, 1.8]
+    # over-relaxation in [1.0, 1.8].  Default 1.0: measured across the
+    # reference instances and random 1k-pool networks, alpha=1.0 with the
+    # fast rho adaptation below converges 2-3x faster than 1.7 on smooth
+    # (geo-mean) networks AND is the difference between converging and
+    # stalling at ~1e-2 residuals on polyhedral (constant-sum-heavy)
+    # networks, whose vertex solutions interact badly with over-relaxation.
+    alpha: float = 1.0
     max_iters: int = 2000
     check_every: int = 1  # residual check cadence inside while_loop
     eps_abs: float = 1e-9
     eps_rel: float = 1e-9
     adapt_rho: bool = True
-    adapt_every: int = 50
+    adapt_every: int = 25
     adapt_factor: float = 2.0
-    adapt_ratio: float = 10.0
+    adapt_ratio: float = 3.0
     projection: ProjectionConfig = ProjectionConfig()
     # consensus-exchange strategy: how the per-slot gather of nu and the
     # per-asset scatter-add ride the hardware.  XLA lowers gather/scatter

@@ -46,7 +46,12 @@ import numpy as np
 from ..models.utility import ConcaveUtility, Objective
 from .compiler import Bucket, CompiledProblem
 
-__all__ = ["Certificate", "certify"]
+__all__ = [
+    "Certificate",
+    "InfeasibilityCertificate",
+    "certify",
+    "certify_infeasible",
+]
 
 _TINY = 1e-300
 _BISECT_ITERS = 80
@@ -218,6 +223,86 @@ def _cs_bound(nu_s, R, gamma, mask):
     cstar = np.min(nu_real, axis=1) / gamma
     gain = np.maximum(nu_s - cstar[:, None], 0.0)
     return np.sum(np.where(mask > 0, R * gain, 0.0), axis=1)
+
+
+@dataclasses.dataclass
+class InfeasibilityCertificate:
+    """Rigorous primal-infeasibility certificate (separating prices).
+
+    The primal is feasible iff the Minkowski sum of the pools' net-trade
+    sets intersects the psi box.  For ANY price direction u >= 0 (finite
+    where it must be — see :func:`certify_infeasible`),
+
+        margin(u) = sum_i sigma_i(u) - sum_j u_j lo_j
+                  = [max asset value the pools can emit at prices u]
+                    - [value the box demands at prices u]
+
+    ``margin < 0`` PROVES no feasible point exists: the box demands more
+    u-value than every pool together can supply.  The reference surfaces
+    the same condition as a cvxpy INFEASIBLE status behind
+    ``/root/reference/liquidation.py:85``; here the separating hyperplane
+    itself is returned as evidence.
+    """
+
+    margin: float  # < 0 proves infeasibility
+    infeasible: bool
+    prices: np.ndarray  # the separating direction u (||u||_inf = 1)
+
+    def summary(self) -> str:
+        verdict = "INFEASIBLE" if self.infeasible else "inconclusive"
+        return f"{verdict}: margin={self.margin:.6g} at ||u||_inf=1"
+
+
+def _pool_supports(compiled: CompiledProblem, u: np.ndarray) -> float:
+    """sum_i sigma_i(u) = sup of total pool-emitted value at prices u >= 0
+    (an upper bound — each per-pool bound is valid for every inner
+    multiplier, see :func:`_gm_bound`)."""
+    u_ext = np.concatenate([np.asarray(u, np.float64), [0.0]])
+    total = 0.0
+    for _, b in compiled.buckets.items():
+        nu_s = u_ext[b.asset]
+        g = b.gamma[:, 0]
+        if b.kind == "gm":
+            total += float(
+                np.sum(_gm_bound(nu_s, b.reserves, b.weights, b.shift, g,
+                                 b.logk0, b.mask))
+            )
+        else:
+            total += float(np.sum(_cs_bound(nu_s, b.reserves, g, b.mask)))
+    return total
+
+
+def certify_infeasible(
+    compiled: CompiledProblem,
+    objective,
+    prices: np.ndarray,
+) -> InfeasibilityCertificate:
+    """Attempt an infeasibility certificate from a candidate direction.
+
+    ``prices`` is typically the (diverging) ADMM dual iterate — for an
+    infeasible program the scaled dual grows along a separating direction.
+    The candidate is sanitized so both sides of the margin are finite:
+    clipped to u >= 0 (pool supports are +inf against negative prices —
+    deposit that asset without bound) and zeroed where lo_j = -inf (the
+    box demands -inf u-value there, never binding).  The resulting margin
+    is rigorous for the sanitized u; ``infeasible=False`` is always only
+    "inconclusive", never a feasibility proof.
+    """
+    lo = np.asarray(objective.lo, np.float64)
+    u = np.maximum(np.asarray(prices, np.float64), 0.0)
+    u = np.where(np.isfinite(lo), u, 0.0)
+    scale = float(np.max(u, initial=0.0))
+    if not np.isfinite(scale) or scale <= 0.0:
+        return InfeasibilityCertificate(
+            margin=np.inf, infeasible=False, prices=u
+        )
+    u = u / scale
+    support = _pool_supports(compiled, u)
+    demand = float(np.sum(np.where(u > 0, u * lo, 0.0)))
+    margin = support - demand
+    return InfeasibilityCertificate(
+        margin=margin, infeasible=bool(margin < 0.0), prices=u
+    )
 
 
 def certify(

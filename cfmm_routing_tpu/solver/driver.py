@@ -52,12 +52,16 @@ class SolveLog:
     """Append-only residual history with CSV export.
 
     ``status`` after a solve is one of 'converged' | 'max_iters' |
-    'stalled' | 'diverged' (SURVEY.md §5 — the reference's prob.solve()
-    either succeeds or raises; production runs need the distinction)."""
+    'stalled' | 'diverged' | 'infeasible' (SURVEY.md §5 — the reference's
+    prob.solve() surfaces cvxpy's INFEASIBLE status behind
+    ``liquidation.py:85``; production runs need the full distinction).
+    When status is 'infeasible', ``infeasibility`` holds the rigorous
+    separating-price certificate (solver/certify.py)."""
 
     def __init__(self):
         self.records: List[ChunkRecord] = []
         self.status: str = "pending"
+        self.infeasibility = None  # InfeasibilityCertificate when proven
 
     def append(self, rec: ChunkRecord) -> None:
         self.records.append(rec)
@@ -240,7 +244,9 @@ class ChunkedDriver:
         obj = jnp.zeros((), dtype)
         best_score = float("inf")
         best_chunk = 0
+        best_state = None  # (z, nu, rho, psi, obj, r, s) at the best score
         stall_chunks = 12  # no 30% residual progress in this many chunks
+        last_good_prices = None  # last finite dual, for the infeasibility cert
         while it < max_iters:
             z, nu, r2, s2, w2, z2, u2, psi, obj = self._chunk_jit(
                 z, nu, rho_v, c, lo, hi, util
@@ -271,6 +277,7 @@ class ChunkedDriver:
             if not np.isfinite(r):
                 status = "diverged"
                 break
+            last_good_prices = np.asarray(rho_v * nu, np.float64)
             if r <= eps_pri and s <= eps_dua:
                 converged = True
                 status = "converged"
@@ -279,6 +286,8 @@ class ChunkedDriver:
             # asked for f64-grade tolerances will cycle at its noise floor
             # forever — stop and report instead of burning the budget.
             score = max(r / max(eps_pri, 1e-300), s / max(eps_dua, 1e-300))
+            if best_state is None or score < best_state[0]:
+                best_state = (score, z, nu, rho_v, psi, obj, r, s)
             if score < 0.7 * best_score:
                 best_score = score
                 best_chunk = len(log)
@@ -294,6 +303,27 @@ class ChunkedDriver:
                 elif s > opts.adapt_ratio * r:
                     rho_v = rho_v / opts.adapt_factor
                     nu = nu * opts.adapt_factor
+
+        # a stalled run cycles at its dtype noise floor; the LAST iterate is
+        # then an arbitrary point of the cycle — return the best-residual
+        # iterate seen instead (an f32 run asked for f64-grade tolerances
+        # reports its true f32-accurate answer this way)
+        if status == "stalled" and best_state is not None:
+            _, z, nu, rho_v, psi, obj, r, s = best_state
+
+        # a non-converging run may be a genuinely infeasible program: the
+        # ADMM dual then grows along a separating direction — try to turn
+        # the last finite dual into a rigorous infeasibility certificate
+        # (reference behavior: cvxpy INFEASIBLE at ``liquidation.py:85``)
+        if not converged and last_good_prices is not None:
+            from .certify import certify_infeasible
+
+            cert = certify_infeasible(
+                sol.compiled, objective, last_good_prices
+            )
+            if cert.infeasible:
+                status = "infeasible"
+                log.infeasibility = cert
 
         # final projection pass for exactly-feasible primal variables
         w_out = {}

@@ -177,3 +177,55 @@ def test_api_route_generic():
     assert np.isfinite(r2.objective)
     with pytest.raises(TypeError):
         api.route(spec, np.ones(n))
+
+
+def test_power_root_matches_brentq_extreme_params():
+    """Regression (round 2): the old Newton-only _power_root collapsed to
+    the positive floor for small prox weights w (i.e. small rho) with
+    t < 0 — the overflow in y^(p-1) froze the iterate and the prox
+    silently returned a wrong fixed point, so the SOLVER converged to a
+    suboptimal psi with clean residuals.  The bracketed bisection must
+    match scipy brentq across extreme parameter draws."""
+    from scipy.optimize import brentq
+
+    from cfmm_routing_tpu.ops.prox import _power_root
+
+    rng = np.random.default_rng(12)
+    for _ in range(80):
+        w = 10.0 ** rng.uniform(-4, 2)
+        t = rng.uniform(-80, 80)
+        cf = 10.0 ** rng.uniform(-3, 2)
+        p = rng.uniform(0.02, 0.98)
+        hi = max(2 * t, 1.0) + (2 * cf / w) ** (1.0 / (2.0 - p)) + 1e8
+        root = brentq(
+            lambda y: w * (y - t) - cf * y ** (p - 1.0),
+            1e-300, hi, xtol=1e-300, rtol=8.9e-16, maxiter=600,
+        )
+        got = float(
+            _power_root(
+                jnp.float64(w), jnp.float64(t), jnp.float64(cf),
+                jnp.float64(p), jnp.float64(2.2e-308),
+            )
+        )
+        assert abs(got - root) <= 1e-9 * max(abs(root), 1e-12), (w, t, cf, p)
+
+
+def test_power_utility_solve_correct_at_small_rho():
+    """End-to-end twin of the regression above: at rho=0.125 the solver
+    used to 'converge' (residuals ~1e-10) to an objective 4.5% below the
+    optimum on this instance."""
+    from cfmm_routing_tpu.utils.synth import random_arbitrage
+
+    spec, lin = random_arbitrage(5, 8, seed=11)
+    n = spec.n_assets
+    util = ConcaveUtility.linear(lin.c, lo=np.zeros(n))
+    for j in range(n):
+        util = util.with_power(j, 1.0 + 0.1 * j, 0.5, 1.0).with_box(j, 0.0, 50.0)
+    opts = AdmmOptions(
+        max_iters=60000, eps_abs=1e-10, eps_rel=1e-10, adapt_rho=False,
+        rho=0.125,
+    )
+    res = AdmmSolver(compile_spec(spec), dtype=jnp.float64, options=opts).solve(util)
+    assert bool(res.converged)
+    got = util.value(np.asarray(res.psi))
+    assert abs(got - 25.750686) < 1e-4, got
