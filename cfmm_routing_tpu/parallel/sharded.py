@@ -43,14 +43,21 @@ class ShardedAdmmSolver:
         mesh: Mesh,
         dtype=jnp.float32,
         options: AdmmOptions = AdmmOptions(),
+        shard_assets: bool = False,
     ):
         self.mesh = mesh
         self.n_shards = mesh.shape["pools"]
         self.batch_axis = "batch" if "batch" in mesh.axis_names else None
         compiled = compile_spec(spec, pad_pools_to=self.n_shards)
         self.compiled = compiled
+        consensus_prox = (
+            self._make_asset_sharded_prox(compiled, jnp.dtype(dtype))
+            if shard_assets
+            else None
+        )
         self.inner = AdmmSolver(
-            compiled, dtype=dtype, options=options, axis_name="pools"
+            compiled, dtype=dtype, options=options, axis_name="pools",
+            consensus_prox=consensus_prox,
         )
         self.dtype = self.inner.dtype
         self.n = compiled.n_assets
@@ -128,6 +135,59 @@ class ShardedAdmmSolver:
                 for name in compiled.buckets
             },
         )
+
+    def _make_asset_sharded_prox(self, compiled, dtype):
+        """Asset-sharded consensus: reduce_scatter + block prox + all_gather.
+
+        Replaces the replicated  psum(n-vector) -> prox(n)  with
+
+            psum_scatter  ->  prox on this device's n/D asset block
+                          ->  all_gather of (psi, mu)
+
+        (SURVEY.md §5 "reduce_scatter when the asset universe n itself is
+        sharded").  The prox/vector work per device drops from O(n) to
+        O(n/D) — the scaling axis for asset universes beyond ~10^5 where
+        the replicated n-vector arithmetic starts to rival the bucket
+        work.  Numerically identical to the replicated path modulo psum
+        reduction order (parity-tested in tests/test_sharding.py).
+        Supports the linear-objective prox; ConcaveUtility objectives
+        fall back to the replicated path inside AdmmSolver._iterate.
+        """
+        from ..ops.prox import psi_prox
+
+        D = int(self.n_shards)
+        n = compiled.n_assets
+        blk = -(-n // D)
+        n_pad = blk * D
+        deg_p = np.zeros(n_pad)
+        deg_p[:n] = compiled.degree
+        deg_p = jnp.asarray(deg_p, dtype)  # padding slots: degree 0 => psi=0
+
+        def rs_prox(y_local, nu, c, lo, hi, rho):
+            pad = n_pad - n
+            y_p = jnp.concatenate([y_local, jnp.zeros((pad,), y_local.dtype)])
+            y_blk = jax.lax.psum_scatter(
+                y_p, "pools", scatter_dimension=0, tiled=True
+            )  # (blk,) summed over devices
+            i = jax.lax.axis_index("pools")
+            off = i * blk
+
+            def slc(v, fill):
+                v_p = jnp.concatenate(
+                    [v, jnp.full((pad,), fill, v.dtype)]
+                )
+                return jax.lax.dynamic_slice(v_p, (off,), (blk,))
+
+            deg_b = jax.lax.dynamic_slice(deg_p, (off,), (blk,))
+            s_b = y_blk - 2.0 * deg_b * slc(nu, 0.0)
+            psi_b, mu_b = psi_prox(
+                s_b, deg_b, slc(c, 0.0), slc(lo, 0.0), slc(hi, 0.0), rho
+            )
+            psi = jax.lax.all_gather(psi_b, "pools", tiled=True)[:n]
+            mu = jax.lax.all_gather(mu_b, "pools", tiled=True)[:n]
+            return psi, mu
+
+        return rs_prox
 
     def solve(self, objective: Objective, rho: Optional[float] = None) -> RouteResult:
         c = jnp.asarray(objective.c, self.dtype)

@@ -133,6 +133,7 @@ class AdmmSolver:
         segment_sum_fn=None,
         degree_override: Optional[np.ndarray] = None,
         axis_name: Optional[str] = None,
+        consensus_prox=None,
     ):
         self.compiled = compiled
         self.dtype = jnp.dtype(dtype)
@@ -181,6 +182,13 @@ class AdmmSolver:
         if mode == "auto":
             mode = "onehot" if self.n <= 512 else "radix"
         self.consensus = mode
+        # optional override of the consensus reduce+prox: called as
+        # (yhat_local, nu, c, lo, hi, rho) -> (psi, mu) with yhat_local the
+        # device-LOCAL scatter-add (pre-psum).  The asset-sharded path
+        # (parallel/sharded.py, shard_assets=True) uses this to
+        # reduce-scatter the n-vector and run the prox on n/D-blocks
+        # instead of psum + replicated prox (SURVEY.md §5 reduce_scatter).
+        self._consensus_prox = consensus_prox
         self._solve_jit = jax.jit(self._solve_impl)
         self._solve_fused_jit = None  # built lazily by solve_fused
         self._solve_vmapped = jax.jit(
@@ -309,14 +317,17 @@ class AdmmSolver:
             w_hat[name] = (D, L, hD, hL)
             yhat = yhat + self._reduce_edges(hL - hD, name, buckets)
 
-        yhat = self._psum(yhat)
-        s = yhat - 2.0 * self.degree * nu
         from ..ops.prox import psi_prox, utility_prox
 
-        if util is None:
-            psi, mu = psi_prox(s, self.degree, c, lo, hi, rho)
+        if util is None and self._consensus_prox is not None:
+            psi, mu = self._consensus_prox(yhat, nu, c, lo, hi, rho)
         else:
-            psi, mu = utility_prox(s, self.degree, util, rho)
+            yhat = self._psum(yhat)
+            s = yhat - 2.0 * self.degree * nu
+            if util is None:
+                psi, mu = psi_prox(s, self.degree, c, lo, hi, rho)
+            else:
+                psi, mu = utility_prox(s, self.degree, util, rho)
 
         z_new = {}
         w_out = {}

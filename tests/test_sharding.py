@@ -96,3 +96,42 @@ def test_sharded_trades_unbucket_correctly():
         np.testing.assert_allclose(a, b, atol=1e-6)
     for a, b in zip(l_s, l_1):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+@pytest.mark.parametrize("n_dev", [4, 8])
+def test_asset_sharded_consensus_matches_single_device(n_dev):
+    """shard_assets=True: reduce_scatter + n/D-block prox + all_gather must
+    reproduce the replicated-psum result (SURVEY.md §5 reduce_scatter).
+    n=12 over 8 devices exercises uneven blocks (n_pad=16, 2 per device)."""
+    rng = np.random.default_rng(7)
+    spec = _random_network(rng, n_assets=12, n_pools=24)
+    c = rng.uniform(0.5, 5.0, size=12)
+    obj = Objective.arbitrage(c)
+
+    mesh = pool_mesh(n_devices=n_dev, platform="cpu")
+    sharded = ShardedAdmmSolver(
+        spec, mesh, dtype=jnp.float64, options=OPTS, shard_assets=True
+    )
+    res_s = sharded.solve(obj)
+
+    single = AdmmSolver(compile_spec(spec), dtype=jnp.float64, options=OPTS)
+    res_1 = single.solve(obj)
+
+    assert bool(res_s.converged) and bool(res_1.converged)
+    np.testing.assert_allclose(
+        float(res_s.objective), float(res_1.objective), rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.psi), np.asarray(res_1.psi), atol=1e-6
+    )
+
+
+def test_asset_sharded_reference_instance():
+    spec, obj = arbitrage_instance()
+    mesh = pool_mesh(n_devices=4, platform="cpu")
+    sharded = ShardedAdmmSolver(
+        spec, mesh, dtype=jnp.float64, options=OPTS, shard_assets=True
+    )
+    res = sharded.solve(obj)
+    assert bool(res.converged)
+    np.testing.assert_allclose(float(res.objective), 21.499805, rtol=1e-6)
