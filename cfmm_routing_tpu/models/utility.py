@@ -252,3 +252,77 @@ class ConcaveUtility:
             lo=jnp.asarray(lo, dtype),
             hi=jnp.asarray(np.maximum(hi, lo), dtype),
         )
+
+
+@dataclasses.dataclass(frozen=True)
+class CustomUtility:
+    """NON-separable concave utility  U(psi)  given as a JAX-traceable fn.
+
+    Closes the generality gap to the reference's modeling layer: cvxpy
+    accepts ANY DCP-concave objective over psi (``arbitrage.py:57`` is
+    just the linear instance), not only separable ones.  The consensus
+    prox for a non-separable U has no closed form; the solver runs a
+    fixed-trip accelerated projected-gradient (strongly-convex FISTA)
+    inside each ADMM iteration — the prox objective is the sum of U and
+    a diagonal strongly-concave quadratic, so with momentum tuned to
+    mu/L the inner loop converges linearly and ~40-80 trips solve it to
+    f32 roundoff (see ``ops/prox.py::custom_prox``).
+
+    Parameters
+    ----------
+    fn : callable(jax array (n,)) -> scalar, concave and differentiable
+        on the box (use jnp ops only; it is traced into the jitted solve).
+    lo, hi : the box on psi (finite or +-inf per entry).
+    smoothness : upper bound on the largest eigenvalue of -Hessian(U)
+        over the box (the gradient step size is 1/(smoothness + max_j w_j)).
+    prox_iters : inner FISTA trips per ADMM iteration.
+
+    ``value``/``grad`` give f64 host evaluations so the scipy oracle can
+    solve the same program for ground truth.  Rigorous certification of a
+    custom utility needs its concave conjugate; pass ``conjugate`` (a host
+    callable nu -> UPPER bound on sup_psi U(psi) - nu @ psi over the box)
+    to enable ``certify`` — without it only residual-based stopping is
+    available.
+    """
+
+    fn: object
+    lo: np.ndarray
+    hi: np.ndarray
+    smoothness: float
+    prox_iters: int = 60
+    conjugate: object = None
+
+    def __init__(self, fn, lo, hi, smoothness, prox_iters=60, conjugate=None):
+        lo = np.asarray(lo, np.float64)
+        hi = np.asarray(hi, np.float64)
+        if lo.shape != hi.shape:
+            raise ValueError("lo and hi must have identical shapes")
+        if np.any(lo > hi):
+            raise ValueError("box is empty: lo > hi somewhere")
+        if not np.isfinite(smoothness) or smoothness < 0:
+            raise ValueError("smoothness must be a finite nonneg bound")
+        object.__setattr__(self, "fn", fn)
+        object.__setattr__(self, "lo", lo)
+        object.__setattr__(self, "hi", hi)
+        object.__setattr__(self, "smoothness", float(smoothness))
+        object.__setattr__(self, "prox_iters", int(prox_iters))
+        object.__setattr__(self, "conjugate", conjugate)
+
+    @property
+    def n_assets(self) -> int:
+        return self.lo.shape[0]
+
+    def value(self, psi) -> float:
+        import jax
+        import jax.numpy as jnp
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            return float(self.fn(jnp.asarray(np.asarray(psi, np.float64))))
+
+    def grad(self, psi) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            g = jax.grad(self.fn)(jnp.asarray(np.asarray(psi, np.float64)))
+            return np.asarray(g)

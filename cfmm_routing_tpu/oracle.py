@@ -24,7 +24,7 @@ from typing import Optional
 import numpy as np
 import scipy.optimize as sopt
 
-from .models.utility import ConcaveUtility, Objective
+from .models.utility import ConcaveUtility, CustomUtility, Objective
 from .solver.compiler import ProblemSpec
 
 __all__ = ["oracle_solve", "OracleResult"]
@@ -81,8 +81,9 @@ def oracle_solve(
             P[a, off + k + j] = 1.0  # lambda
         off += 2 * k
 
-    if isinstance(obj, ConcaveUtility):
-        # general separable concave utility (models/utility.py)
+    if isinstance(obj, (ConcaveUtility, CustomUtility)):
+        # general (separable or custom non-separable) concave utility
+        # (models/utility.py) — both expose host value/grad
         def fun(x):
             return -obj.value(P @ x)
 

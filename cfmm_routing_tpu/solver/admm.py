@@ -191,6 +191,7 @@ class AdmmSolver:
         self._consensus_prox = consensus_prox
         self._solve_jit = jax.jit(self._solve_impl)
         self._solve_fused_jit = None  # built lazily by solve_fused
+        self._custom_cache = {}  # id(CustomUtility) -> (objective, jitted)
         self._solve_vmapped = jax.jit(
             jax.vmap(self._solve_impl, in_axes=(0, 0, 0, None))
         )
@@ -286,7 +287,8 @@ class AdmmSolver:
             pD, pL, arrs["R"], arrs["gamma"], arrs["k0"], arrs["mask"], cfg=cfg
         )
 
-    def _iterate(self, z, nu, rho, c, lo, hi, util=None, buckets=None):
+    def _iterate(self, z, nu, rho, c, lo, hi, util=None, buckets=None,
+                 custom=None):
         """One ADMM iteration. Returns (z_new, nu_new, psi, w, stats).
 
         ``util`` (a PackedUtility pytree) switches the consensus prox from
@@ -317,14 +319,16 @@ class AdmmSolver:
             w_hat[name] = (D, L, hD, hL)
             yhat = yhat + self._reduce_edges(hL - hD, name, buckets)
 
-        from ..ops.prox import psi_prox, utility_prox
+        from ..ops.prox import custom_prox, psi_prox, utility_prox
 
-        if util is None and self._consensus_prox is not None:
+        if util is None and custom is None and self._consensus_prox is not None:
             psi, mu = self._consensus_prox(yhat, nu, c, lo, hi, rho)
         else:
             yhat = self._psum(yhat)
             s = yhat - 2.0 * self.degree * nu
-            if util is None:
+            if custom is not None:
+                psi, mu = custom_prox(s, self.degree, custom, lo, hi, rho)
+            elif util is None:
                 psi, mu = psi_prox(s, self.degree, c, lo, hi, rho)
             else:
                 psi, mu = utility_prox(s, self.degree, util, rho)
@@ -518,7 +522,7 @@ class AdmmSolver:
     # ---- full solve ---------------------------------------------------------
 
     def _solve_impl(self, c, lo, hi, rho0, z0=None, nu0=None, util=None,
-                    buckets=None):
+                    buckets=None, custom=None):
         opts = self.options
         buckets = self.buckets if buckets is None else buckets
         n_edges = sum(
@@ -557,7 +561,7 @@ class AdmmSolver:
         def body(state):
             k, z, nu, rho, _, _, _, _, _, _ = state
             z, nu, psi, w, st = self._iterate(
-                z, nu, rho, c, lo, hi, util, buckets
+                z, nu, rho, c, lo, hi, util, buckets, custom
             )
             r = jnp.sqrt(st["r2"])
             sd = jnp.sqrt(st["s2"])
@@ -598,7 +602,9 @@ class AdmmSolver:
         deltas = {name: w[name][0] for name in self.buckets}
         lambdas = {name: w[name][1] for name in self.buckets}
 
-        if util is None:
+        if custom is not None:
+            obj = custom.fn(psi)
+        elif util is None:
             obj = jnp.sum(c * psi)
         else:
             from ..ops.prox import utility_value
@@ -651,11 +657,44 @@ class AdmmSolver:
         rho: Optional[float] = None,
         warm: Optional[RouteResult] = None,
     ) -> RouteResult:
-        """Solve for an :class:`Objective` (linear) or a
-        :class:`~cfmm_routing_tpu.models.utility.ConcaveUtility`."""
-        from ..models.utility import ConcaveUtility
+        """Solve for an :class:`Objective` (linear), a separable
+        :class:`~cfmm_routing_tpu.models.utility.ConcaveUtility`, or a
+        non-separable
+        :class:`~cfmm_routing_tpu.models.utility.CustomUtility`."""
+        from ..models.utility import ConcaveUtility, CustomUtility
 
-        rho_v = rho if rho is not None else self.options.rho
+        if rho is not None:
+            rho_v = rho
+        elif warm is not None:
+            # continue at the penalty the prior solve ADAPTED to — warm
+            # starting at options.rho forces the whole re-adaptation
+            # transient (measured: 1 iteration vs 1400 on a custom-utility
+            # re-solve whose prior run ended at rho 32x from rho0)
+            rho_v = float(np.asarray(warm.rho_final))
+        else:
+            rho_v = self.options.rho
+        if isinstance(objective, CustomUtility):
+            key = id(objective)
+            ent = self._custom_cache.get(key)
+            if ent is None or ent[0] is not objective:
+                # the utility's fn/prox_iters are trace-time constants:
+                # one jitted program per CustomUtility instance
+                ent = (
+                    objective,
+                    jax.jit(functools.partial(self._solve_impl, custom=objective)),
+                )
+                self._custom_cache[key] = ent
+            c = jnp.zeros((self.n,), self.dtype)
+            lo = jnp.asarray(
+                np.maximum(objective.lo, -np.finfo(np.float32).max / 4), self.dtype
+            )
+            hi = jnp.asarray(
+                np.minimum(objective.hi, np.finfo(np.float32).max / 4), self.dtype
+            )
+            z0 = nu0 = None
+            if warm is not None:
+                z0, nu0 = self.warm_state(warm, rho_v)
+            return ent[1](c, lo, hi, rho_v, z0, nu0)
         util = None
         if isinstance(objective, ConcaveUtility):
             util = objective.pack(self.dtype)

@@ -318,8 +318,18 @@ def certify(
     deltas/lambdas: bucket name -> slot-major (K, m) arrays (RouteResult
     layout).  prices: (n,) dual prices (RouteResult.prices).
     """
+    from ..models.utility import CustomUtility
+
     n = compiled.n_assets
     util = objective if isinstance(objective, ConcaveUtility) else None
+    custom = objective if isinstance(objective, CustomUtility) else None
+    if custom is not None and custom.conjugate is None:
+        raise ValueError(
+            "certify(CustomUtility) needs the utility's concave conjugate: "
+            "pass conjugate=lambda nu: <rigorous UPPER bound on "
+            "sup_psi U(psi) - nu @ psi over the box> — without it only "
+            "residual-based stopping is available for custom utilities"
+        )
     lo = np.asarray(objective.lo, np.float64)
     hi = np.asarray(objective.hi, np.float64)
 
@@ -327,7 +337,9 @@ def certify(
     phi_viol = 0.0
     nneg_viol = 0.0
     floor_viol = 0.0
-    if util is not None:
+    if custom is not None:
+        nu = np.maximum(np.asarray(prices, np.float64), 0.0)
+    elif util is not None:
         nu = _util_repair_prices(util, np.asarray(prices, np.float64))
     else:
         c = np.asarray(objective.c, np.float64)
@@ -383,7 +395,10 @@ def certify(
         else 0.0
     )
 
-    if util is not None:
+    if custom is not None:
+        primal = custom.value(psi_hat)
+        dual = float(custom.conjugate(nu)) + dual_pools
+    elif util is not None:
         primal = util.value(psi_hat)
         dual = _util_support(util, nu) + dual_pools
     else:
