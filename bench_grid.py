@@ -111,8 +111,11 @@ def run_config(m, n_assets, B, fused):
     rho = jnp.float32(1.0)
 
     # warmup-compile the chunk program outside the clock
+    _log(f"m={m}: compiling chunk program (fused={fused})...")
+    t0 = time.perf_counter()
     zw, nuw, *_ = drv._chunk_jit(z, nu, rho, c, lo, hi, None)
     jax.block_until_ready(nuw)
+    _log(f"m={m}: chunk compile {time.perf_counter() - t0:.1f}s")
 
     solve_s = 0.0
     cert_s = 0.0

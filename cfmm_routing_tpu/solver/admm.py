@@ -721,6 +721,74 @@ class AdmmSolver:
             rho if rho is not None else self.options.rho,
         )
 
+    # ---- batched reserve scenarios -----------------------------------------
+
+    def batch_reserve_arrays(self, reserve_scale):
+        """Batched bucket arrays for per-pool reserve scenarios.
+
+        ``reserve_scale``: (B, n_pools) multiplicative factors on each
+        pool's reserve vector.  Returns (buckets, in_axes) where only the
+        reserve-derived leaves (R, k0, logk0) carry the leading B axis —
+        weights/shifts/topology are shared across scenarios.
+        """
+        scale = np.asarray(reserve_scale, np.float64)
+        if scale.ndim != 2 or scale.shape[1] != self.compiled.n_pools:
+            raise ValueError(
+                f"reserve_scale must be (B, n_pools={self.compiled.n_pools}); "
+                f"got {scale.shape}"
+            )
+        out = {}
+        axes = {}
+        for name, b in self.compiled.buckets.items():
+            sc = scale[:, b.pool_ids]  # (B, m)
+            Rb = b.reserves[None] * sc[:, :, None]  # (B, m, K)
+            if b.kind == "gm":
+                y = np.where(b.mask[None] > 0, Rb + b.shift[None], 1.0)
+                logk0 = np.sum(b.weights[None] * np.log(y), axis=2)
+                k0 = np.exp(logk0)
+            else:
+                k0 = np.sum(np.where(b.mask[None] > 0, Rb, 0.0), axis=2)
+                logk0 = np.log(np.maximum(k0, 1e-300))
+            arrs = dict(self.buckets[name])
+            arrs["R"] = jnp.asarray(np.swapaxes(Rb, 1, 2), self.dtype)  # (B,K,m)
+            arrs["k0"] = jnp.asarray(k0, self.dtype)
+            arrs["logk0"] = jnp.asarray(logk0, self.dtype)
+            out[name] = arrs
+            axes[name] = {
+                k: (0 if k in ("R", "k0", "logk0") else None) for k in arrs
+            }
+        return out, axes
+
+    def solve_batch_reserves(
+        self, objective, reserve_scale, rho: Optional[float] = None
+    ) -> RouteResult:
+        """One vmapped solve across B per-pool reserve scenarios.
+
+        The BASELINE "100k pools x batched reserve scenarios" config:
+        scenario analysis (post-shock reserve states) runs as ONE device
+        program — the reference would re-canonicalize and re-solve from
+        scratch per scenario (``two-asset.py:40-91`` is the same pattern
+        over holdings).  Returns a RouteResult with leading axis B.
+        """
+        c = jnp.asarray(objective.c, self.dtype)
+        lo = jnp.asarray(
+            np.maximum(objective.lo, -np.finfo(np.float32).max / 4), self.dtype
+        )
+        hi = jnp.asarray(
+            np.minimum(objective.hi, np.finfo(np.float32).max / 4), self.dtype
+        )
+        rho_v = jnp.asarray(
+            rho if rho is not None else self.options.rho, self.dtype
+        )
+        buckets, axes = self.batch_reserve_arrays(reserve_scale)
+        fn = jax.jit(
+            jax.vmap(
+                lambda bks: self._solve_impl(c, lo, hi, rho_v, buckets=bks),
+                in_axes=(axes,),
+            )
+        )
+        return fn(buckets)
+
     # ---- host-side unbucketing ---------------------------------------------
 
     def unbucket(self, result: RouteResult):

@@ -53,3 +53,46 @@ def test_batch_mesh_requires_batch_axis():
         sharded.solve_batch(
             np.zeros((2, 3)), np.zeros((2, 3)), np.ones((2, 3))
         )
+
+
+def test_batched_reserve_scenarios_match_serial():
+    """solve_batch_reserves: B per-pool reserve scenarios as ONE vmapped
+    call must match B separately-compiled serial solves (the BASELINE
+    '100k pools x batched reserve scenarios' capability at test scale)."""
+    import dataclasses
+
+    from cfmm_routing_tpu.models.reference_instances import arbitrage_instance
+    from cfmm_routing_tpu.solver.admm import AdmmOptions, AdmmSolver
+    from cfmm_routing_tpu.solver.compiler import compile_spec
+
+    spec, obj = arbitrage_instance()
+    opts = AdmmOptions(max_iters=30000, eps_abs=1e-9, eps_rel=1e-9)
+    solver = AdmmSolver(compile_spec(spec), dtype=jnp.float64, options=opts)
+
+    rng = np.random.default_rng(4)
+    B = 4
+    scale = rng.uniform(0.7, 1.5, size=(B, len(spec.pools)))
+    out = solver.solve_batch_reserves(obj, scale)
+    assert out.objective.shape == (B,)
+
+    from cfmm_routing_tpu.models.pools import (
+        ConstantSumPool,
+        GeoMeanPool,
+    )
+
+    def rescale(p, s):
+        if p.kind == "cs":
+            return ConstantSumPool(p.assets, p.reserves * s, fee=p.fee)
+        return GeoMeanPool(p.assets, p.reserves * s, p.weights, fee=p.fee)
+
+    for b in range(B):
+        pools_b = [rescale(p, scale[b, i]) for i, p in enumerate(spec.pools)]
+        spec_b = dataclasses.replace(spec, pools=pools_b)
+        res_b = AdmmSolver(
+            compile_spec(spec_b), dtype=jnp.float64, options=opts
+        ).solve(obj)
+        assert bool(res_b.converged)
+        np.testing.assert_allclose(
+            float(out.objective[b]), float(res_b.objective), rtol=1e-6,
+            err_msg=f"scenario {b}",
+        )
