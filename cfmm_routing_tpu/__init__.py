@@ -18,9 +18,18 @@ from .models.pools import (  # noqa: F401
     Pool,
     ProductPool,
 )
-from .models.utility import ConcaveUtility, Objective  # noqa: F401
+from .models.utility import (  # noqa: F401
+    ConcaveUtility,
+    CustomUtility,
+    Objective,
+)
 from .solver.admm import AdmmOptions, AdmmSolver, RouteResult  # noqa: F401
-from .solver.certify import Certificate, certify  # noqa: F401
+from .solver.certify import (  # noqa: F401
+    Certificate,
+    InfeasibilityCertificate,
+    certify,
+    certify_infeasible,
+)
 from .solver.compiler import (  # noqa: F401
     CompiledProblem,
     PoolTable,
@@ -29,6 +38,7 @@ from .solver.compiler import (  # noqa: F401
     compile_table,
 )
 from .solver.driver import ChunkedDriver, SolveLog  # noqa: F401
+from .solver.refine import RefineResult, refine  # noqa: F401
 
 __version__ = "0.1.0"
 
@@ -41,16 +51,21 @@ __all__ = [
     "CompiledProblem",
     "ConcaveUtility",
     "ConstantSumPool",
+    "CustomUtility",
     "GeoMeanPool",
+    "InfeasibilityCertificate",
     "Objective",
     "Pool",
     "PoolTable",
     "ProblemSpec",
     "ProductPool",
+    "RefineResult",
     "RouteResult",
     "SolveLog",
     "certify",
+    "certify_infeasible",
     "compile_spec",
     "compile_table",
+    "refine",
     "__version__",
 ]
