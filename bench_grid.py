@@ -94,8 +94,9 @@ def run_config(m, n_assets, B, fused):
     from cfmm_routing_tpu.utils.synth import random_arbitrage_table
 
     table, obj = random_arbitrage_table(n_assets, m, seed=7)
-    pad = 1024 if m >= 50_000 else 128
-    compiled = compile_table(table, pad_pools_to=pad)
+    # 1024-pool padding at EVERY size: the fused kernel's compiled tiles
+    # must be 8-sublane aligned (rows < 8 hangs the Mosaic compiler)
+    compiled = compile_table(table, pad_pools_to=1024)
     opts = AdmmOptions(max_iters=10**6, eps_abs=0.0, eps_rel=0.0)
     solver = AdmmSolver(compiled, dtype=jnp.float32, options=opts)
     drv = ChunkedDriver(solver, chunk=CHUNK, fused=fused)

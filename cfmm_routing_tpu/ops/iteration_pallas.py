@@ -84,20 +84,26 @@ _LANES = 128
 _VMEM_BUDGET = 4 << 20
 
 
-def _pick_tile_rows(rows: int, K: int, H: int) -> int:
+def _pick_tile_rows(rows: int, K: int, H: int, require8: bool = False) -> int:
     """Largest legal sublane tile under the VMEM budget.
 
     Legality (Mosaic): the block's sublane extent must be a multiple of 8
-    or equal to the whole array.  Budget model per tile row (128 slots),
-    per channel: radix one-hots + M temp (128 + 2*He)*128*4 bytes with
-    He = max(H, 8) (sublane padding), plus ~24 (tr,128) f32 temporaries
-    per channel for in/out tiles and the root-find, plus slack.
+    or equal to the whole array.  ``require8`` additionally forbids
+    sub-8-sublane tiles: compiling this kernel with a t == rows < 8 tile
+    has been observed to HANG the Mosaic TPU compiler indefinitely
+    (reproduced twice at rows=6), so the compiled path only accepts
+    8-aligned tiles and small buckets must pad to 1024 pools.
+
+    Budget model per tile row (128 slots), per channel: radix one-hots +
+    M temp (128 + 2*He)*128*4 bytes with He = max(H, 8) (sublane
+    padding), plus ~24 (tr,128) f32 temporaries per channel for in/out
+    tiles and the root-find, plus slack.
     """
     He = max(H, 8)
     per_row = 128 * 4 * (K * (128 + 2 * He) + 24 * K + 8)
     cap = max(1, _VMEM_BUDGET // per_row)
     for t in range(min(cap, rows), 0, -1):
-        if rows % t == 0 and (t % 8 == 0 or t == rows):
+        if rows % t == 0 and (t % 8 == 0 or (t == rows and not require8)):
             return t
     return 0
 
@@ -235,12 +241,13 @@ def fused_step(
     assert n_pad % _LANES == 0
     H = n_pad // _LANES
     rows = m // _LANES
-    tile_rows = _pick_tile_rows(rows, K, H)
+    tile_rows = _pick_tile_rows(rows, K, H, require8=not interpret)
     if tile_rows == 0:
         raise ValueError(
             f"bucket (K={K}, m={m}, n_pad={n_pad}) has no TPU-legal tile "
-            "under the VMEM budget; compile with pad_pools_to=1024 or use "
-            "the classic path for this asset-universe size"
+            "under the VMEM budget (compiled tiles must be 8-sublane "
+            "aligned); compile with pad_pools_to=1024 or use the classic "
+            "path for this bucket shape"
         )
     grid = (rows // tile_rows,)
 
