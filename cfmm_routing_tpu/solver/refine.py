@@ -50,6 +50,12 @@ class RefineResult:
 # iterate, so later stages only run if the certificate is still loose
 _EPS_SCHEDULE = (1e-9, 1e-11, 5e-13)
 
+# certify every CHUNK f64 iterations and stop at the first certified hit:
+# solving the residual schedule to completion routinely lands 1e-9 gaps
+# when 1e-6 was requested — measured 5060 polish iterations at 10k pools
+# where ~2000 already certified (the chunked loop cut refine 2-3x there)
+_CHUNK = 500
+
 
 def _to_host(res: RouteResult) -> RouteResult:
     return jax.tree_util.tree_map(np.asarray, res)
@@ -77,31 +83,58 @@ def refine(
             # move the warm state to host BEFORE building f64 programs so
             # no f32 TPU buffer is captured in an f64 trace
             cur = _to_host(result)
-            total = 0
-            cert = None
-            for eps in _EPS_SCHEDULE:
-                opts = dataclasses.replace(
-                    base,
-                    eps_abs=eps,
-                    eps_rel=eps,
-                    max_iters=int(max_iters),
-                )
-                solver = AdmmSolver(compiled, dtype=jnp.float64, options=opts)
-                res = solver.solve(objective, warm=cur)
-                total += int(res.iters)
-                cur = _to_host(res)
-                cert = certify(
+
+            def _cert(point):
+                return certify(
                     compiled,
                     objective,
-                    cur.deltas,
-                    cur.lambdas,
-                    cur.prices,
-                    psi_claimed=cur.psi,
+                    point.deltas,
+                    point.lambdas,
+                    point.prices,
+                    psi_claimed=point.psi,
                 )
-                if cert.gap_rel <= target_gap and cert.feasibility <= target_gap:
+
+            def _hit(c):
+                return c.gap_rel <= target_gap and c.feasibility <= target_gap
+
+            # the incoming point may already certify (e.g. an f64 solve or a
+            # re-refine) — then the polish costs zero iterations
+            cert = _cert(cur)
+            if _hit(cert):
+                return RefineResult(
+                    result=cur, certificate=cert, iters=0, achieved=True
+                )
+
+            total = 0
+            stage = 0
+            solver = None
+            while total < int(max_iters):
+                if solver is None:
+                    opts = dataclasses.replace(
+                        base,
+                        eps_abs=_EPS_SCHEDULE[stage],
+                        eps_rel=_EPS_SCHEDULE[stage],
+                        max_iters=_CHUNK,
+                    )
+                    solver = AdmmSolver(
+                        compiled, dtype=jnp.float64, options=opts
+                    )
+                res = solver.solve(objective, warm=cur)
+                took = int(res.iters)
+                total += took
+                cur = _to_host(res)
+                cert = _cert(cur)
+                if _hit(cert):
                     return RefineResult(
                         result=cur, certificate=cert, iters=total, achieved=True
                     )
+                if took < _CHUNK:
+                    # residual-converged at this eps but the certificate is
+                    # still loose: tighten, or give up when schedule exhausted
+                    stage += 1
+                    if stage >= len(_EPS_SCHEDULE):
+                        break
+                    solver = None
             return RefineResult(
                 result=cur, certificate=cert, iters=total, achieved=False
             )
