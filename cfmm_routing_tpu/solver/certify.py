@@ -51,6 +51,7 @@ __all__ = [
     "InfeasibilityCertificate",
     "certify",
     "certify_infeasible",
+    "polish_prices",
 ]
 
 _TINY = 1e-300
@@ -176,10 +177,13 @@ def _repair_prices(
     return np.maximum(nu, 0.0)
 
 
-def _gm_bound(nu_s, R, w, s, gamma, logk0, mask):
+def _gm_bound(nu_s, R, w, s, gamma, logk0, mask, want_grad=False):
     """Per-pool arbitrage support bound for geo-mean pools.
 
-    nu_s, R, w, s, mask: (m, K);  gamma, logk0: (m,).  Returns (m,)."""
+    nu_s, R, w, s, mask: (m, K);  gamma, logk0: (m,).  Returns (m,), or
+    ((m,), (m, K) d(bound)/d(nu_s)) when ``want_grad`` (Danskin envelope:
+    the gradient is the pool's net-trade response at the evaluated
+    multiplier/regime, including the drain cap's response R)."""
     yR = R + s
     nu_safe = np.where(mask > 0, np.maximum(nu_s, _TINY), 1.0)
     g = gamma[:, None]
@@ -193,11 +197,13 @@ def _gm_bound(nu_s, R, w, s, gamma, logk0, mask):
         y = np.where(mask > 0, np.clip(y, _TINY, 1e300), 1.0)
         h = np.sum(w * np.log(y), axis=1)
         dy = yR - y
+        # response = d(profit)/d(nu): dy when withdrawing, dy/g depositing
+        resp = np.where(mask > 0, np.where(dy > 0, dy, dy / g), 0.0)
         profit = np.where(
             dy > 0, nu_safe * dy, (nu_safe / g) * dy
         )
         profit = np.sum(np.where(mask > 0, profit, 0.0), axis=1)
-        return profit + eta * (h - logk0), h
+        return profit + eta * (h - logk0), h, resp
 
     # bisect for the best multiplier: h(eta) is nondecreasing
     hi = np.max(
@@ -206,23 +212,126 @@ def _gm_bound(nu_s, R, w, s, gamma, logk0, mask):
     lo = np.zeros_like(hi)
     for _ in range(_BISECT_ITERS):
         mid = 0.5 * (lo + hi)
-        _, h = eval_bound(mid)
+        _, h, _ = eval_bound(mid)
         up_mask = h < logk0
         lo = np.where(up_mask, mid, lo)
         hi = np.where(up_mask, hi, mid)
-    b_lo, _ = eval_bound(np.maximum(lo, 1e-12))
-    b_hi, _ = eval_bound(hi)
+    b_lo, _, r_lo = eval_bound(np.maximum(lo, 1e-12))
+    b_hi, _, r_hi = eval_bound(hi)
     drain = np.sum(np.where(mask > 0, nu_safe * R, 0.0), axis=1)
     cand = np.minimum(np.minimum(b_lo, b_hi), drain)
-    return np.where(np.isfinite(cand), cand, drain)
+    cand = np.where(np.isfinite(cand), cand, drain)
+    if not want_grad:
+        return cand
+    r_best = np.where((b_lo <= b_hi)[:, None], r_lo, r_hi)
+    grad = np.where(
+        (cand >= drain - 1e-300)[:, None],
+        np.where(mask > 0, R, 0.0),
+        np.where(np.isfinite(r_best), r_best, np.where(mask > 0, R, 0.0)),
+    )
+    return cand, grad
 
 
-def _cs_bound(nu_s, R, gamma, mask):
+def _cs_bound(nu_s, R, gamma, mask, want_grad=False):
     """Closed-form constant-sum support:  sum_j R_j (nu_j - min_k nu_k/g)_+."""
     nu_real = np.where(mask > 0, nu_s, np.inf)
     cstar = np.min(nu_real, axis=1) / gamma
     gain = np.maximum(nu_s - cstar[:, None], 0.0)
-    return np.sum(np.where(mask > 0, R * gain, 0.0), axis=1)
+    bound = np.sum(np.where(mask > 0, R * gain, 0.0), axis=1)
+    if not want_grad:
+        return bound
+    active = (gain > 0.0) & (mask > 0)
+    grad = np.where(active, R, 0.0)
+    # the argmin (deposited) asset absorbs -sum(active R)/gamma
+    kmin = np.argmin(nu_real, axis=1)
+    dep = -np.sum(np.where(active, R, 0.0), axis=1) / gamma
+    np.put_along_axis(grad, kmin[:, None], dep[:, None], axis=1)
+    return bound, grad
+
+
+def _dual_value_and_grad(compiled, c, lo, hi, nu):
+    """g(nu) = box support + sum of pool supports, with its subgradient.
+
+    grad g = psi_box*(nu) + sum_i (pool i's net-trade response at nu) —
+    the market's excess supply at prices nu; g is convex and minimized
+    where the market clears.  Any nu in the repair box gives a VALID
+    bound, so a minimizer only ever tightens the certificate."""
+    n = compiled.n_assets
+    d = c - nu
+    lo_f = np.where(np.isfinite(lo), lo, 0.0)
+    hi_f = np.where(np.isfinite(hi), hi, 0.0)
+    take_lo = np.where(np.isfinite(lo), d * lo_f, -np.inf)
+    take_hi = np.where(np.isfinite(hi), d * hi_f, -np.inf)
+    psi_box = np.where(take_lo >= take_hi, lo_f, hi_f)
+    val = np.maximum(take_lo, take_hi)
+    psi_box = np.where(np.isfinite(val), psi_box, 0.0)
+    g_val = float(np.sum(np.where(np.isfinite(val), val, 0.0)))
+    grad = -psi_box.copy()
+
+    nu_ext = np.concatenate([nu, [0.0]])
+    acc = np.zeros(n + 1)
+    for _, b in compiled.buckets.items():
+        nu_s = nu_ext[b.asset]
+        gam = b.gamma[:, 0]
+        if b.kind == "gm":
+            bound, gb = _gm_bound(
+                nu_s, b.reserves, b.weights, b.shift, gam, b.logk0, b.mask,
+                want_grad=True,
+            )
+        else:
+            bound, gb = _cs_bound(nu_s, b.reserves, gam, b.mask, want_grad=True)
+        g_val += float(np.sum(bound))
+        np.add.at(acc, b.asset.reshape(-1), gb.reshape(-1))
+    grad += acc[:n]
+    return g_val, grad
+
+
+def polish_prices(
+    compiled: CompiledProblem,
+    objective: Objective,
+    nu0: np.ndarray,
+    max_evals: int = 200,
+) -> np.ndarray:
+    """Tighten the dual bound by minimizing g(nu) from ``nu0`` (L-BFGS-B).
+
+    Returns whichever prices give the LOWER bound — rigor is free because
+    every repaired nu >= 0 yields a valid bound.  Linear objectives only
+    (the grid/bench path); other utility types return ``nu0`` unchanged.
+    """
+    if not isinstance(objective, Objective) or isinstance(
+        objective, ConcaveUtility
+    ):
+        return np.asarray(nu0, np.float64)
+    try:
+        from scipy.optimize import minimize
+    except Exception:
+        return np.asarray(nu0, np.float64)
+    c = np.asarray(objective.c, np.float64)
+    lo = np.asarray(objective.lo, np.float64)
+    hi = np.asarray(objective.hi, np.float64)
+    # the repair box keeps the box support finite: nu >= c where hi=inf,
+    # nu <= c where lo=-inf, nu == c where both, nu >= 0 always
+    lb = np.where(np.isfinite(hi), 0.0, c)
+    ub = np.where(np.isfinite(lo), np.inf, c)
+    lb = np.maximum(lb, 0.0)
+    ub = np.maximum(ub, lb)
+    x0 = np.clip(_repair_prices(np.asarray(nu0, np.float64), c, lo, hi), lb, ub)
+
+    g0, _ = _dual_value_and_grad(compiled, c, lo, hi, x0)
+    res = minimize(
+        lambda x: _dual_value_and_grad(compiled, c, lo, hi, x),
+        x0,
+        jac=True,
+        method="L-BFGS-B",
+        bounds=list(zip(lb, np.where(np.isfinite(ub), ub, None))),
+        options=dict(maxfun=max_evals, maxiter=max_evals),
+    )
+    if np.all(np.isfinite(res.x)):
+        xr = np.clip(res.x, lb, ub)
+        g1, _ = _dual_value_and_grad(compiled, c, lo, hi, xr)
+        if g1 < g0:
+            return xr
+    return x0
 
 
 @dataclasses.dataclass
