@@ -8,7 +8,8 @@ lowers to padded device arrays.  All families are unified under two trading
 functions:
 
 * ``gm``:  phi(x) = prod_j (x_j + shift_j)^{w_j}   with  sum_j w_j = 1
-* ``cs``:  phi(x) = sum_j x_j                      with  x >= 0
+* ``cs``:  phi(x) = sum_j q_j x_j                  with  x >= 0, q_j > 0
+           (q = 1 recovers the plain constant sum)
 
 which covers:
 
@@ -152,12 +153,34 @@ class ProductPool(Pool):
 
 
 class ConstantSumPool(Pool):
-    """mStable-style constant-sum pool: phi(x) = sum(x), x >= 0.
+    """mStable-style constant-sum pool: phi(x) = sum_j q_j x_j, x >= 0.
 
-    Reference ``arbitrage.py:73-74`` (the explicit ``new_reserves >= 0``).
+    Reference ``arbitrage.py:73-74`` (the explicit ``new_reserves >= 0``)
+    is the uniform case q = 1 (the default).  Per-asset coefficients
+    ``weights`` express weighted linear invariants — pegged baskets with
+    mixed token decimals, and the image of a plain constant-sum pool
+    under the per-asset diagonal rescaling the preconditioner applies
+    (``solver/precondition.py``).  Unlike gm weights these are NOT
+    normalized: phi is homogeneous degree 1 in q, so only ratios matter,
+    but k0 = q @ R is reported in the caller's units.
     """
 
     kind = "cs"
+
+    def __init__(self, assets, reserves, fee: float = 1.0, weights=None):
+        if weights is None:
+            self._q = np.ones(len(tuple(assets)))
+        else:
+            self._q = _as_f64(weights)
+        super().__init__(assets, reserves, fee)
+        if len(self._q) != len(self.assets):
+            raise ValueError("weights length must match assets")
+        if np.any(self._q <= 0):
+            raise ValueError("constant-sum weights must be positive")
+
+    @property
+    def weights(self) -> np.ndarray:
+        return self._q
 
 
 class BoundedProductPool(Pool):

@@ -13,9 +13,9 @@
 //     padding pools (mask 0, asset 0, gamma 1, gm k0 = 1, cs k0 = 0);
 //   * padding slots j >= width are masked with asset 0 (consensus reads
 //     and writes are masked in the solver, solver/admm.py);
-//   * gm weights are normalized to sum 1 per pool; cs weights are the
-//     slot mask;
-//   * logk0 = sum_j w_j log(R_j + s_j) for gm; k0 = sum_j R_j for cs.
+//   * gm weights are normalized to sum 1 per pool; cs weights are the RAW
+//     linear coefficients q_j (phi = sum q_j x_j; 1.0 for uniform pools);
+//   * logk0 = sum_j w_j log(R_j + s_j) for gm; k0 = sum_j q_j R_j for cs.
 
 #include <cmath>
 #include <cstdint>
@@ -54,12 +54,13 @@ void fill_bucket(
                 if (j < k) {
                     const double Rv = reserves[o + j];
                     const double Sv = shifts[o + j];
-                    const double Wv = is_gm ? weights[o + j] / wsum : 1.0;
+                    const double Wv = is_gm ? weights[o + j] / wsum
+                                            : weights[o + j];
                     R[idx] = Rv; W[idx] = Wv; S[idx] = Sv; mask[idx] = 1.0;
                     asset_out[idx] = assets[o + j];
                     degree[assets[o + j]] += 1.0;
                     if (is_gm) lk += Wv * std::log(Rv + Sv);
-                    else ks += Rv;
+                    else ks += Rv * Wv;
                 } else {
                     R[idx] = 0.0; W[idx] = 0.0; S[idx] = 0.0;
                     mask[idx] = 0.0; asset_out[idx] = 0;

@@ -108,17 +108,6 @@ def _pick_tile_rows(rows: int, K: int, H: int, require8: bool = False) -> int:
     return 0
 
 
-def _interpret_mode_forced() -> bool:
-    """True when a pltpu.force_tpu_interpret_mode() context is active."""
-    try:
-        from jax._src import config as _jax_config
-
-        val = _jax_config.pallas_tpu_interpret_mode_context_manager.get_local()
-        return isinstance(val, pltpu.InterpretParams)
-    except Exception:
-        return False
-
-
 def _gm_bracket(ch, gamma, k0):
     mu_hi = None
     for (p, q, Rp, w, s, mask) in ch:
@@ -198,7 +187,8 @@ def _fused_kernel(K, kind, needs_floor, cfg, alpha, H, refs):
         ch = [(P[c], Q[c], R[c], W[c], SH[c], M[c]) for c in range(K)]
         mu_hi = None
         for (p, q, R_, w, s, mask) in ch:
-            cand = _relu(q) * mask
+            w_safe = jnp.where(mask > 0, w, 1.0)
+            cand = _relu(q) * mask / w_safe
             mu_hi = cand if mu_hi is None else jnp.maximum(mu_hi, cand)
         mu_hi = mu_hi + 1.0
 
@@ -252,12 +242,11 @@ def fused_step(
     assert n_pad % _LANES == 0
     H = n_pad // _LANES
     rows = m // _LANES
-    # pltpu.force_tpu_interpret_mode() overrides interpret=False at the
-    # pallas_call level; the sub-8-sublane Mosaic-hang guard must not fire
-    # when the kernel will in fact be interpreted (tests drive the fused
-    # ChunkedDriver under that context on CPU)
-    forced = _interpret_mode_forced()
-    tile_rows = _pick_tile_rows(rows, K, H, require8=not (interpret or forced))
+    # interpret mode must be requested EXPLICITLY (solve_fused(interpret=...)
+    # / ChunkedDriver(interpret=...)): the sub-8-sublane Mosaic-hang guard
+    # only applies to compiled tiles, and sniffing a global
+    # force_tpu_interpret_mode() context would need private jax internals
+    tile_rows = _pick_tile_rows(rows, K, H, require8=not interpret)
     if tile_rows == 0:
         raise ValueError(
             f"bucket (K={K}, m={m}, n_pad={n_pad}) has no TPU-legal tile "

@@ -156,13 +156,16 @@ def _eval_gm(mu, p, q, Rp, gamma, w, k0, mask, s, needs_floor):
     return D, L, xi, h
 
 
-def _eval_cs(mu, p, q, R, gamma, mask, k0):
-    """Constant-sum coordinate solve: theta = mu on real slots.
+def _eval_cs(mu, p, q, R, gamma, w, mask, k0):
+    """Weighted constant-sum coordinate solve: theta_j = mu * q_j.
 
-    h(mu) = sum_slots x - k0, monotone nondecreasing in mu.  The reserve
+    phi(x) = sum_j q_j x_j (the ``w`` plane holds the raw coefficients
+    q_j; 1.0 on uniform pools, 0 on padding), so grad phi = q and the KKT
+    multiplier enters each coordinate as theta_j = mu q_j.
+    h(mu) = sum_slots q_j x_j, monotone nondecreasing in mu.  The reserve
     floor x >= 0 (reference ``arbitrage.py:74``) is clamped in closed form.
     """
-    theta = mu[None, :] * mask
+    theta = mu[None, :] * w
     D, L = _dl_from_theta(p, q, gamma, theta)
     x = R + gamma * D - L
     clamped = x < 0
@@ -172,7 +175,7 @@ def _eval_cs(mu, p, q, R, gamma, mask, k0):
     D = D * mask
     L = L * mask
     x = jnp.maximum(R + gamma * D - L, 0.0) * mask
-    h = jnp.sum(x, axis=0)
+    h = jnp.sum(w * x, axis=0)
     return D, L, x, h
 
 
@@ -266,18 +269,21 @@ def project_gm(
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def project_cs(
-    p, q, R, gamma, k0, mask,
+    p, q, R, gamma, w, k0, mask,
     cfg: ProjectionConfig = ProjectionConfig(),
 ):
-    """Project (p, q) onto constant-sum trading sets (with reserve floor).
+    """Project (p, q) onto (weighted) constant-sum trading sets (with
+    reserve floor).  ``w`` holds the linear coefficients q_j (1.0 uniform).
     Slot-major shapes as in :func:`project_gm`.  Returns (D, L) (K, m)."""
     dtype = p.dtype
 
     def h_of_mu(mu):
-        return _eval_cs(mu, p, q, R, gamma, mask, k0)[3]
+        return _eval_cs(mu, p, q, R, gamma, w, mask, k0)[3]
 
-    # theta = mu >= max(q) clips every L to 0 -> sum x >= sum R = k0
-    mu_hi = jnp.max(jax.nn.relu(q) * mask, axis=0) + 1.0
+    # theta_j = mu q_j >= max(q) clips every L to 0 -> x >= R slotwise
+    # -> sum q x >= sum q R = k0
+    w_safe = jnp.where(mask > 0, w, 1.0)
+    mu_hi = jnp.max(jax.nn.relu(q) * mask / w_safe, axis=0) + 1.0
     mu = _root_find(h_of_mu, mu_hi, k0, cfg, dtype)
-    D, L, _, _ = _eval_cs(mu, p, q, R, gamma, mask, k0)
+    D, L, _, _ = _eval_cs(mu, p, q, R, gamma, w, mask, k0)
     return D, L

@@ -119,10 +119,12 @@ def _eval_gm_channels(mu, ch, gamma, k0, needs_floor):
 
 
 def _eval_cs_channels(mu, ch, gamma, k0):
+    """Weighted constant-sum: theta_j = mu * q_j with q the raw linear
+    coefficients in the ``w`` plane; h = sum_j q_j x_j (projection._eval_cs)."""
     h = None
     Ds, Ls = [], []
     for (p, q, R, w, s, mask) in ch:
-        theta = mu * mask
+        theta = mu * w
         D = _relu(p + gamma * theta)
         L = _relu(q - theta)
         x = R + gamma * D - L
@@ -132,7 +134,8 @@ def _eval_cs_channels(mu, ch, gamma, k0):
         D = _relu(p + gamma * theta) * mask
         L = _relu(q - theta) * mask
         x = jnp.maximum(R + gamma * D - L, 0.0) * mask
-        h = x if h is None else h + x
+        term = w * x
+        h = term if h is None else h + term
         Ds.append(D)
         Ls.append(L)
     return Ds, Ls, h
@@ -230,7 +233,8 @@ def _cs_kernel(K: int, cfg: ProjectionConfig, refs):
 
     mu_hi = None
     for (p, q, R_, w, s, mask) in ch:
-        cand = _relu(q) * mask
+        w_safe = jnp.where(mask > 0, w, 1.0)
+        cand = _relu(q) * mask / w_safe
         mu_hi = cand if mu_hi is None else jnp.maximum(mu_hi, cand)
     mu_hi = mu_hi + 1.0
 
@@ -313,15 +317,15 @@ def project_gm_pallas(
 
 
 def project_cs_pallas(
-    p, q, R, gamma, k0, mask,
+    p, q, R, gamma, w, k0, mask,
     cfg: ProjectionConfig = ProjectionConfig(),
     tile: int = PALLAS_TILE,
     interpret: bool = False,
 ):
-    """Drop-in Pallas replacement for :func:`projection.project_cs`."""
-    K, m = p.shape
+    """Drop-in Pallas replacement for :func:`projection.project_cs`
+    (``w``: the raw linear coefficients q_j; 1.0 for uniform pools)."""
     zeros = jnp.zeros_like(p)
     return _pallas_project(
-        "cs", p, q, R, jnp.ones_like(p), zeros, gamma, jnp.zeros_like(k0),
+        "cs", p, q, R, w, zeros, gamma, jnp.zeros_like(k0),
         k0, mask, True, cfg, tile, interpret,
     )

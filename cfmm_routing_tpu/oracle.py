@@ -126,10 +126,10 @@ def oracle_solve(
             constraints.append(
                 sopt.NonlinearConstraint(phi_con, 0.0, np.inf, jac=phi_jac)
             )
-        else:  # 'cs'
+        else:  # 'cs' (weighted: phi = sum_j q_j x_j, q = pool.weights)
             row = np.zeros(nvar)
-            row[sl.start : sl.start + k] = g
-            row[sl.start + k : sl.start + 2 * k] = -1.0
+            row[sl.start : sl.start + k] = g * w
+            row[sl.start + k : sl.start + 2 * k] = -w
             constraints.append(sopt.LinearConstraint(row, 0.0, np.inf))
 
         if pool.needs_reserve_floor:

@@ -11,6 +11,13 @@ device-local; the ONLY cross-device traffic per ADMM iteration is
 which rides ICI within a slice and DCN across hosts (XLA picks the
 collective implementation).  Scenario batches map to the outer ``batch``
 axis, fully independent.
+
+Both iteration paths shard: the classic XLA path (``AdmmSolver._iterate``)
+and the fused Pallas path (``AdmmSolver._iterate_fused`` — one VMEM-fused
+kernel launch per bucket per iteration on each device's local pool shard,
+with the same per-iteration n-vector psum).  ``solve_fused`` and
+``make_chunk_fn(fused=True)`` are the v5p-slice north-star configuration
+(BASELINE.json): Pallas kernels + ICI collectives in one program.
 """
 from __future__ import annotations
 
@@ -21,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.utility import Objective
+from ..models.utility import ConcaveUtility, CustomUtility, Objective
 from ..solver.admm import AdmmOptions, AdmmSolver, RouteResult
 from ..solver.compiler import CompiledProblem, ProblemSpec, compile_spec
 
@@ -35,6 +42,12 @@ class ShardedAdmmSolver:
     runs projections locally, and participates in two psums per iteration.
     Results (psi, prices, scalars) are replicated; per-pool trades stay
     sharded and are gathered only on `unbucket`.
+
+    ``pad_pools_to`` defaults to the shard count (minimum padding).  The
+    fused Pallas path additionally needs each device's LOCAL pool count to
+    be a lane multiple: pass ``pad_pools_to=128 * n_shards`` (interpret /
+    CPU tests) or ``1024 * n_shards`` (compiled tiles must be 8-sublane
+    aligned — see ops/iteration_pallas.py).
     """
 
     def __init__(
@@ -44,11 +57,18 @@ class ShardedAdmmSolver:
         dtype=jnp.float32,
         options: AdmmOptions = AdmmOptions(),
         shard_assets: bool = False,
+        pad_pools_to: Optional[int] = None,
     ):
         self.mesh = mesh
         self.n_shards = mesh.shape["pools"]
         self.batch_axis = "batch" if "batch" in mesh.axis_names else None
-        compiled = compile_spec(spec, pad_pools_to=self.n_shards)
+        pad = self.n_shards if pad_pools_to is None else int(pad_pools_to)
+        if pad % self.n_shards != 0:
+            raise ValueError(
+                f"pad_pools_to={pad} must be a multiple of the pool-mesh "
+                f"extent {self.n_shards}"
+            )
+        compiled = compile_spec(spec, pad_pools_to=pad)
         self.compiled = compiled
         consensus_prox = (
             self._make_asset_sharded_prox(compiled, jnp.dtype(dtype))
@@ -63,7 +83,7 @@ class ShardedAdmmSolver:
         self.n = compiled.n_assets
 
         # slot-major (K, m): the pool axis is axis 1
-        bucket_specs = {
+        self._bucket_specs = {
             name: dict(
                 R=P(None, "pools"), w=P(None, "pools"), s=P(None, "pools"),
                 gamma=P("pools"), logk0=P("pools"), k0=P("pools"),
@@ -71,30 +91,67 @@ class ShardedAdmmSolver:
             )
             for name in compiled.buckets
         }
-        out_specs = RouteResult(
+        self._result_specs = RouteResult(
             objective=P(), psi=P(), prices=P(),
             deltas={n: P(None, "pools") for n in compiled.buckets},
             lambdas={n: P(None, "pools") for n in compiled.buckets},
             iters=P(), r_norm=P(), s_norm=P(), converged=P(),
             rho_final=P(),
         )
+        self._z_specs = {
+            name: (P(None, "pools"), P(None, "pools"))
+            for name in compiled.buckets
+        }
+        self._progs = {}  # cache key -> jitted shard_map program
 
-        def _sharded_solve(buckets, c, lo, hi, rho):
-            # each device's LOCAL bucket shards enter the solve as traced
-            # arguments (no Python-side state swapping during trace)
-            return self.inner._solve_impl(c, lo, hi, rho, buckets=buckets)
+        # place bucket arrays according to their specs once
+        self.buckets_device = jax.device_put(
+            self.inner.buckets,
+            {
+                name: {
+                    k: NamedSharding(mesh, spec)
+                    for k, spec in self._bucket_specs[name].items()
+                }
+                for name in compiled.buckets
+            },
+        )
 
-        self._solve_sharded = jax.jit(
+    # ---- program construction ----------------------------------------------
+
+    def _shard(self, fn, in_specs, out_specs):
+        return jax.jit(
             jax.shard_map(
-                _sharded_solve,
-                mesh=mesh,
-                in_specs=(bucket_specs, P(), P(), P(), P()),
-                out_specs=out_specs,
+                fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
                 check_vma=False,
             )
         )
 
-        if self.batch_axis:
+    def _get_solve_prog(self, has_util: bool):
+        key = ("solve", has_util)
+        prog = self._progs.get(key)
+        if prog is None:
+            if has_util:
+                def _sharded_solve(buckets, c, lo, hi, rho, util):
+                    return self.inner._solve_impl(
+                        c, lo, hi, rho, util=util, buckets=buckets
+                    )
+
+                in_specs = (self._bucket_specs, P(), P(), P(), P(), P())
+            else:
+                def _sharded_solve(buckets, c, lo, hi, rho):
+                    # each device's LOCAL bucket shards enter the solve as
+                    # traced arguments (no Python-side state swapping)
+                    return self.inner._solve_impl(c, lo, hi, rho, buckets=buckets)
+
+                in_specs = (self._bucket_specs, P(), P(), P(), P())
+            prog = self._shard(_sharded_solve, in_specs, self._result_specs)
+            self._progs[key] = prog
+        return prog
+
+    def _get_batch_prog(self):
+        key = ("batch",)
+        prog = self._progs.get(key)
+        if prog is None:
             # 2-D parallelism: scenario batch (outer, independent solves)
             # x pools (inner, psum-coupled).  Each device runs B/D_batch
             # vmapped solves over its m/D_pools pool shard.
@@ -107,34 +164,151 @@ class ShardedAdmmSolver:
 
             batch_out = RouteResult(
                 objective=P("batch"), psi=P("batch"), prices=P("batch"),
-                deltas={n_: P("batch", None, "pools") for n_ in compiled.buckets},
-                lambdas={n_: P("batch", None, "pools") for n_ in compiled.buckets},
+                deltas={n_: P("batch", None, "pools") for n_ in self.compiled.buckets},
+                lambdas={n_: P("batch", None, "pools") for n_ in self.compiled.buckets},
                 iters=P("batch"), r_norm=P("batch"), s_norm=P("batch"),
                 converged=P("batch"), rho_final=P("batch"),
             )
-            self._solve_sharded_batch = jax.jit(
-                jax.shard_map(
-                    _sharded_solve_batch,
-                    mesh=mesh,
-                    in_specs=(
-                        bucket_specs, P("batch"), P("batch"), P("batch"), P(),
-                    ),
-                    out_specs=batch_out,
-                    check_vma=False,
-                )
+            prog = self._shard(
+                _sharded_solve_batch,
+                (self._bucket_specs, P("batch"), P("batch"), P("batch"), P()),
+                batch_out,
             )
+            self._progs[key] = prog
+        return prog
 
-        # place bucket arrays according to their specs once
-        self.buckets_device = jax.device_put(
-            self.inner.buckets,
-            {
-                name: {
-                    k: NamedSharding(mesh, spec)
-                    for k, spec in bucket_specs[name].items()
-                }
-                for name in compiled.buckets
-            },
-        )
+    def _check_fused_alignment(self, lanes: int = 128):
+        for name, b in self.compiled.buckets.items():
+            m_local = b.m // self.n_shards
+            if m_local % lanes != 0:
+                raise ValueError(
+                    f"bucket {name!r}: {b.m} pools over {self.n_shards} "
+                    f"shards leaves {m_local} per device; the fused kernel "
+                    f"needs a multiple of {lanes} — construct the solver "
+                    f"with pad_pools_to={lanes}*n_shards (or 1024*n_shards "
+                    "for compiled tiles)"
+                )
+
+    def _get_fused_prog(self, n_iters: int, interpret: bool, has_util: bool):
+        key = ("fused", n_iters, interpret, has_util)
+        prog = self._progs.get(key)
+        if prog is None:
+            if has_util:
+                def _fused(buckets, c, lo, hi, rho, util):
+                    return self.inner._solve_fused_impl(
+                        c, lo, hi, rho, n_iters=n_iters, util=util,
+                        interpret=interpret, buckets=buckets,
+                    )
+
+                in_specs = (self._bucket_specs, P(), P(), P(), P(), P())
+            else:
+                def _fused(buckets, c, lo, hi, rho):
+                    return self.inner._solve_fused_impl(
+                        c, lo, hi, rho, n_iters=n_iters,
+                        interpret=interpret, buckets=buckets,
+                    )
+
+                in_specs = (self._bucket_specs, P(), P(), P(), P())
+            prog = self._shard(_fused, in_specs, self._result_specs)
+            self._progs[key] = prog
+        return prog
+
+    def make_chunk_fn(self, chunk: int, fused: bool = False,
+                      interpret: bool = False):
+        """A jitted sharded chunk program with the ChunkedDriver contract:
+
+            (z, nu, rho, c, lo, hi, util) ->
+                (z, nu, r2, s2, w2, z2, u2, psi, obj)
+
+        ``chunk`` iterations per dispatch (``fused=True``: chunk - 1 fused
+        Pallas iterations + one classic residual-harvest iteration), pools
+        sharded over the mesh.  ChunkedDriver uses this when handed a
+        ShardedAdmmSolver.
+        """
+        if fused:
+            self._check_fused_alignment()
+        sol = self.inner
+        scalar = P()
+        nvec = P()
+
+        def _chunk(buckets, z, nu, rho, c, lo, hi, util):
+            if fused:
+                s = {name: (zD, zL) for name, (zD, zL) in z.items()}
+                wdef = jnp.zeros((sol.n,), sol.dtype)
+
+                def body(i, st):
+                    s, wdef, nu = st
+                    s, wdef, nu, _, _ = sol._iterate_fused(
+                        s, wdef, nu, rho, c, lo, hi, util=util,
+                        interpret=interpret, buckets=buckets,
+                    )
+                    return (s, wdef, nu)
+
+                s, wdef, nu = jax.lax.fori_loop(
+                    0, chunk - 1, body, (s, wdef, nu)
+                )
+                z = sol.fused_to_z(s, wdef, buckets)
+                z, nu, psi, w, stats = sol._iterate(
+                    z, nu, rho, c, lo, hi, util, buckets
+                )
+                r2, s2 = stats["r2"], stats["s2"]
+                w2, z2, u2 = stats["w_norm2"], stats["z_norm2"], stats["u_norm2"]
+            else:
+                def body(i, st):
+                    z, nu, _, _, _, _, _, _ = st
+                    z, nu, psi, w, stats = sol._iterate(
+                        z, nu, rho, c, lo, hi, util, buckets
+                    )
+                    return (z, nu, stats["r2"], stats["s2"], stats["w_norm2"],
+                            stats["z_norm2"], stats["u_norm2"], psi)
+
+                zero = jnp.zeros((), sol.dtype)
+                st = (z, nu, zero, zero, zero, zero, zero,
+                      jnp.zeros((sol.n,), sol.dtype))
+                z, nu, r2, s2, w2, z2, u2, psi = jax.lax.fori_loop(
+                    0, chunk, body, st
+                )
+            if util is None:
+                obj = jnp.sum(c * psi)
+            else:
+                from ..ops.prox import utility_value
+
+                obj = utility_value(util, psi)
+            return z, nu, r2, s2, w2, z2, u2, psi, obj
+
+        def build(has_util):
+            if has_util:
+                fn = _chunk
+                in_specs = (
+                    self._bucket_specs, self._z_specs, nvec, scalar,
+                    nvec, nvec, nvec, P(),
+                )
+            else:
+                def fn(buckets, z, nu, rho, c, lo, hi):
+                    return _chunk(buckets, z, nu, rho, c, lo, hi, None)
+
+                in_specs = (
+                    self._bucket_specs, self._z_specs, nvec, scalar,
+                    nvec, nvec, nvec,
+                )
+            out_specs = (
+                self._z_specs, nvec, scalar, scalar, scalar, scalar, scalar,
+                nvec, scalar,
+            )
+            return self._shard(fn, in_specs, out_specs)
+
+        progs = {}
+
+        def chunk_fn(z, nu, rho, c, lo, hi, util=None):
+            has_util = util is not None
+            if has_util not in progs:
+                progs[has_util] = build(has_util)
+            args = (self.buckets_device, z, nu, rho, c, lo, hi)
+            if has_util:
+                args = args + (util,)
+            return progs[has_util](*args)
+
+        return chunk_fn
 
     def _make_asset_sharded_prox(self, compiled, dtype):
         """Asset-sharded consensus: reduce_scatter + block prox + all_gather.
@@ -189,18 +363,72 @@ class ShardedAdmmSolver:
 
         return rs_prox
 
-    def solve(self, objective: Objective, rho: Optional[float] = None) -> RouteResult:
-        c = jnp.asarray(objective.c, self.dtype)
-        lo = jnp.asarray(
-            np.maximum(objective.lo, -np.finfo(np.float32).max / 4), self.dtype
-        )
-        hi = jnp.asarray(
-            np.minimum(objective.hi, np.finfo(np.float32).max / 4), self.dtype
-        )
-        rho = jnp.asarray(
+    # ---- objective packing ---------------------------------------------------
+
+    def _pack(self, objective):
+        """(c, lo, hi, util) device arrays for a linear Objective or a
+        separable ConcaveUtility; CustomUtility is single-device only."""
+        if isinstance(objective, CustomUtility):
+            raise NotImplementedError(
+                "CustomUtility (non-separable) is not supported on the "
+                "sharded path: its FISTA consensus prox is replicated "
+                "n-vector work with a user-traced fn — solve it on a "
+                "single-device AdmmSolver (admm.py solve) instead"
+            )
+        util = None
+        if isinstance(objective, ConcaveUtility):
+            util = objective.pack(self.dtype)
+            c, lo, hi = util.c, util.lo, util.hi
+        else:
+            c = jnp.asarray(objective.c, self.dtype)
+            lo = jnp.asarray(
+                np.maximum(objective.lo, -np.finfo(np.float32).max / 4),
+                self.dtype,
+            )
+            hi = jnp.asarray(
+                np.minimum(objective.hi, np.finfo(np.float32).max / 4),
+                self.dtype,
+            )
+        return c, lo, hi, util
+
+    # ---- public solves -------------------------------------------------------
+
+    def solve(self, objective, rho: Optional[float] = None) -> RouteResult:
+        """Sharded solve for a linear :class:`Objective` or a separable
+        :class:`ConcaveUtility` (same surface as ``AdmmSolver.solve``
+        minus CustomUtility)."""
+        c, lo, hi, util = self._pack(objective)
+        rho_v = jnp.asarray(
             rho if rho is not None else self.inner.options.rho, self.dtype
         )
-        return self._solve_sharded(self.buckets_device, c, lo, hi, rho)
+        prog = self._get_solve_prog(util is not None)
+        if util is None:
+            return prog(self.buckets_device, c, lo, hi, rho_v)
+        return prog(self.buckets_device, c, lo, hi, rho_v, util)
+
+    def solve_fused(
+        self,
+        objective,
+        iters: int,
+        rho: Optional[float] = None,
+        interpret: bool = False,
+    ) -> RouteResult:
+        """Fixed-iteration fused-Pallas solve, pools sharded over the mesh.
+
+        The north-star configuration: each device runs the VMEM-fused
+        iteration kernel on its local pool shard; one n-vector psum per
+        iteration completes the consensus over ICI.  Per-device pool
+        counts must be lane-aligned (see class docstring).
+        """
+        self._check_fused_alignment()
+        c, lo, hi, util = self._pack(objective)
+        rho_v = jnp.asarray(
+            rho if rho is not None else self.inner.options.rho, self.dtype
+        )
+        prog = self._get_fused_prog(int(iters), bool(interpret), util is not None)
+        if util is None:
+            return prog(self.buckets_device, c, lo, hi, rho_v)
+        return prog(self.buckets_device, c, lo, hi, rho_v, util)
 
     def solve_batch(self, c, lo, hi, rho: Optional[float] = None) -> RouteResult:
         """Batched sharded solve: (B, n) objectives over the 2-D mesh.
@@ -211,7 +439,7 @@ class ShardedAdmmSolver:
         if not self.batch_axis:
             raise ValueError("mesh has no 'batch' axis; use pool_batch_mesh")
         dt = self.dtype
-        return self._solve_sharded_batch(
+        return self._get_batch_prog()(
             self.buckets_device,
             jnp.asarray(c, dt),
             jnp.asarray(np.maximum(lo, -np.finfo(np.float32).max / 4), dt),

@@ -56,7 +56,12 @@ class AdmmOptions:
     # networks, whose vertex solutions interact badly with over-relaxation.
     alpha: float = 1.0
     max_iters: int = 2000
-    check_every: int = 1  # residual check cadence inside while_loop
+    # residual-check cadence inside the while_loop: check_every - 1
+    # stats-free iterations (no residual reductions, no scalar psum; only
+    # the consensus n-vector crosses devices) between full checks.  The
+    # iteration counter advances in strides of check_every, so max_iters
+    # may be overshot by at most check_every - 1.
+    check_every: int = 1
     eps_abs: float = 1e-9
     eps_rel: float = 1e-9
     adapt_rho: bool = True
@@ -284,12 +289,17 @@ class AdmmSolver:
                 needs_floor=floor, cfg=cfg,
             )
         return project_cs(
-            pD, pL, arrs["R"], arrs["gamma"], arrs["k0"], arrs["mask"], cfg=cfg
+            pD, pL, arrs["R"], arrs["gamma"], arrs["w"], arrs["k0"],
+            arrs["mask"], cfg=cfg,
         )
 
     def _iterate(self, z, nu, rho, c, lo, hi, util=None, buckets=None,
-                 custom=None):
+                 custom=None, with_stats=True):
         """One ADMM iteration. Returns (z_new, nu_new, psi, w, stats).
+
+        ``with_stats=False`` (a trace-time constant) skips the residual
+        accumulations and their packed psum — the ``check_every`` fast
+        path: only the n-vector consensus psum remains per iteration.
 
         ``util`` (a PackedUtility pytree) switches the consensus prox from
         the linear closed form to the general separable-concave one; the
@@ -313,7 +323,8 @@ class AdmmSolver:
             nu_e = self._bcast_nu(nu, name, buckets)
             zD, zL = z[name]
             D, L = self._project(name, arrs, zD - nu_e, zL + nu_e)
-            w_norm2 += jnp.sum(D * D) + jnp.sum(L * L)
+            if with_stats:
+                w_norm2 += jnp.sum(D * D) + jnp.sum(L * L)
             hD = alpha * D + (1.0 - alpha) * zD
             hL = alpha * L + (1.0 - alpha) * zL
             w_hat[name] = (D, L, hD, hL)
@@ -343,19 +354,21 @@ class AdmmSolver:
             dmu = self._bcast_nu(nu - mu, name, buckets)
             znD = hD + dmu
             znL = hL - dmu
-            zD, zL = z[name]
-            s2 += jnp.sum((znD - zD) ** 2) + jnp.sum((znL - zL) ** 2)
-            rD = D - znD
-            rL = L - znL
-            r2 += jnp.sum(rD * rD) + jnp.sum(rL * rL)
-            z_norm2 += jnp.sum(znD * znD) + jnp.sum(znL * znL)
+            if with_stats:
+                zD, zL = z[name]
+                s2 += jnp.sum((znD - zD) ** 2) + jnp.sum((znL - zL) ** 2)
+                rD = D - znD
+                rL = L - znL
+                r2 += jnp.sum(rD * rD) + jnp.sum(rL * rL)
+                z_norm2 += jnp.sum(znD * znD) + jnp.sum(znL * znL)
             z_new[name] = (znD, znL)
             w_out[name] = (D, L)
 
-        # one packed psum for the four local partial sums (replicated
-        # quantities like u_norm2 need no reduction)
-        packed = self._psum(jnp.stack([r2, s2, w_norm2, z_norm2]))
-        r2, s2, w_norm2, z_norm2 = packed[0], packed[1], packed[2], packed[3]
+        if with_stats:
+            # one packed psum for the four local partial sums (replicated
+            # quantities like u_norm2 need no reduction)
+            packed = self._psum(jnp.stack([r2, s2, w_norm2, z_norm2]))
+            r2, s2, w_norm2, z_norm2 = packed[0], packed[1], packed[2], packed[3]
         u_norm2 = jnp.sum(2.0 * self.degree * mu * mu)
         stats = dict(
             r2=r2, s2=s2 * rho * rho, w_norm2=w_norm2, z_norm2=z_norm2,
@@ -369,23 +382,25 @@ class AdmmSolver:
     # ops/iteration_pallas.py for the derivation).  One Pallas launch per
     # bucket per iteration; all consensus algebra outside is O(n).
 
-    def fused_init(self):
+    def fused_init(self, buckets=None):
+        buckets = self.buckets if buckets is None else buckets
         s0 = {
             name: (
                 jnp.zeros(arrs["mask"].shape, self.dtype),
                 jnp.zeros(arrs["mask"].shape, self.dtype),
             )
-            for name, arrs in self.buckets.items()
+            for name, arrs in buckets.items()
         }
         wdef0 = jnp.zeros((self.n,), self.dtype)
         nu0 = jnp.zeros((self.n,), self.dtype)
         return s0, wdef0, nu0
 
     def _iterate_fused(self, s, wdef, nu, rho, c, lo, hi, util=None,
-                       interpret=False):
+                       interpret=False, buckets=None):
         from ..ops.iteration_pallas import fused_step
         from ..ops.prox import psi_prox, utility_prox
 
+        buckets = self.buckets if buckets is None else buckets
         alpha = float(self.options.alpha)
         n = self.n
         n_pad = -(-n // 128) * 128
@@ -395,7 +410,7 @@ class AdmmSolver:
         y = jnp.zeros((n_pad,), self.dtype)
         s_new = {}
         w_out = {}
-        for name, arrs in self.buckets.items():
+        for name, arrs in buckets.items():
             kind, floor = self._meta[name]
             sD, sL = s[name]
             sDn, sLn, D, L, yp = fused_step(
@@ -405,6 +420,8 @@ class AdmmSolver:
             s_new[name] = (sDn, sLn)
             w_out[name] = (D, L)
             y = y + yp
+        # under shard_map each device reduced only its local pool shard;
+        # one n-vector psum completes the consensus (same site as _iterate)
         yhat = self._psum(y[:n]) - 2.0 * (1.0 - alpha) * self.degree * wdef
         svec = yhat - 2.0 * self.degree * nu
         if util is None:
@@ -414,42 +431,55 @@ class AdmmSolver:
         wdef_new = (1.0 - alpha) * wdef + nu - mu
         return s_new, wdef_new, mu, psi, w_out
 
-    def fused_to_z(self, s, wdef):
+    def fused_to_z(self, s, wdef, buckets=None):
         """Materialize the classic edge state z from the fused state."""
+        buckets = self.buckets if buckets is None else buckets
         z = {}
-        for name in self.buckets:
-            we = self._bcast_nu(wdef, name)
+        for name in buckets:
+            we = self._bcast_nu(wdef, name, buckets)
             sD, sL = s[name]
             z[name] = (sD + we, sL - we)
         return z
 
     def _solve_fused_impl(self, c, lo, hi, rho, n_iters, util=None,
-                          interpret=False):
+                          interpret=False, buckets=None):
         """Fixed-iteration solve on the fused-kernel path.
 
         Runs ``n_iters`` fused iterations (one Pallas launch per bucket per
         iteration, no residual bookkeeping in the loop), then materializes
         the classic edge state and runs ONE classic iteration to harvest
-        exact residual norms and exactly-feasible primal trades."""
+        exact residual norms and exactly-feasible primal trades.
+
+        ``buckets`` overrides the solver's device bucket arrays — the
+        sharded path passes each device's LOCAL shard as a traced argument
+        (same contract as :meth:`_iterate`); the per-iteration psum sites
+        inside :meth:`_iterate_fused` / :meth:`_iterate` complete the
+        consensus across the pool mesh axis."""
         opts = self.options
-        s0, wdef0, nu0 = self.fused_init()
+        buckets = self.buckets if buckets is None else buckets
+        s0, wdef0, nu0 = self.fused_init(buckets)
 
         def body(_, st):
             s, wdef, nu = st
             s, wdef, nu, _, _ = self._iterate_fused(
-                s, wdef, nu, rho, c, lo, hi, util=util, interpret=interpret
+                s, wdef, nu, rho, c, lo, hi, util=util, interpret=interpret,
+                buckets=buckets,
             )
             return (s, wdef, nu)
 
         s, wdef, nu = jax.lax.fori_loop(0, n_iters, body, (s0, wdef0, nu0))
-        z = self.fused_to_z(s, wdef)
-        z, nu, psi, w, st = self._iterate(z, nu, rho, c, lo, hi, util)
+        z = self.fused_to_z(s, wdef, buckets)
+        z, nu, psi, w, st = self._iterate(z, nu, rho, c, lo, hi, util, buckets)
         r = jnp.sqrt(st["r2"])
         sd = jnp.sqrt(st["s2"])
         n_edges = sum(
-            2 * int(np.prod(b["mask"].shape)) for b in self.buckets.values()
+            2 * int(np.prod(b["mask"].shape)) for b in buckets.values()
         )
-        sqn = jnp.asarray(np.sqrt(n_edges), self.dtype)
+        n_shards = (
+            1.0 if self.axis_name is None
+            else jax.lax.psum(jnp.ones((), self.dtype), self.axis_name)
+        )
+        sqn = jnp.sqrt(jnp.asarray(n_edges, self.dtype) * n_shards)
         eps_pri = opts.eps_abs * sqn + opts.eps_rel * jnp.sqrt(
             jnp.maximum(st["w_norm2"], st["z_norm2"])
         )
@@ -464,8 +494,8 @@ class AdmmSolver:
             objective=obj,
             psi=psi,
             prices=rho * nu,
-            deltas={name: w[name][0] for name in self.buckets},
-            lambdas={name: w[name][1] for name in self.buckets},
+            deltas={name: w[name][0] for name in buckets},
+            lambdas={name: w[name][1] for name in buckets},
             iters=jnp.asarray(n_iters + 1, jnp.int32),
             r_norm=r,
             s_norm=sd,  # st["s2"] is already rho-scaled inside _iterate
@@ -558,8 +588,22 @@ class AdmmSolver:
                 jnp.logical_or(r > eps_pri, s > eps_dua),
             )
 
+        check_every = max(1, int(opts.check_every))
+
         def body(state):
             k, z, nu, rho, _, _, _, _, _, _ = state
+            if check_every > 1:
+                # stats-free fast iterations: no residual reductions, no
+                # scalar psum — only the consensus n-vector crosses devices
+                def inner(_, zn):
+                    z_i, nu_i = zn
+                    z_i, nu_i, _, _, _ = self._iterate(
+                        z_i, nu_i, rho, c, lo, hi, util, buckets, custom,
+                        with_stats=False,
+                    )
+                    return (z_i, nu_i)
+
+                z, nu = jax.lax.fori_loop(0, check_every - 1, inner, (z, nu))
             z, nu, psi, w, st = self._iterate(
                 z, nu, rho, c, lo, hi, util, buckets, custom
             )
@@ -569,9 +613,14 @@ class AdmmSolver:
                 jnp.maximum(st["w_norm2"], st["z_norm2"])
             )
             eps_dua = opts.eps_abs * sqn + opts.eps_rel * jnp.sqrt(st["u_norm2"])
+            k = k + check_every
             if opts.adapt_rho:
+                # with check_every > 1 the counter advances in strides; fire
+                # the adaptation whenever a stride crosses an adapt_every
+                # boundary so the cadence is preserved in iteration terms
                 do_adapt = jnp.logical_and(
-                    (k + 1) % opts.adapt_every == 0, k + 1 < opts.max_iters // 2
+                    (k % opts.adapt_every) < check_every,
+                    k < opts.max_iters // 2,
                 )
                 up = jnp.logical_and(do_adapt, r > opts.adapt_ratio * sd)
                 dn = jnp.logical_and(do_adapt, sd > opts.adapt_ratio * r)
@@ -580,7 +629,7 @@ class AdmmSolver:
                 ).astype(self.dtype)
                 rho = rho * fac
                 nu = nu / fac
-            return (k + 1, z, nu, rho, r, sd, eps_pri, eps_dua, psi, w)
+            return (k, z, nu, rho, r, sd, eps_pri, eps_dua, psi, w)
 
         big = jnp.asarray(jnp.inf, self.dtype)
         w0 = {
@@ -747,7 +796,7 @@ class AdmmSolver:
                 logk0 = np.sum(b.weights[None] * np.log(y), axis=2)
                 k0 = np.exp(logk0)
             else:
-                k0 = np.sum(np.where(b.mask[None] > 0, Rb, 0.0), axis=2)
+                k0 = np.sum(b.weights[None] * Rb, axis=2)
                 logk0 = np.log(np.maximum(k0, 1e-300))
             arrs = dict(self.buckets[name])
             arrs["R"] = jnp.asarray(np.swapaxes(Rb, 1, 2), self.dtype)  # (B,K,m)

@@ -232,19 +232,29 @@ def _gm_bound(nu_s, R, w, s, gamma, logk0, mask, want_grad=False):
     return cand, grad
 
 
-def _cs_bound(nu_s, R, gamma, mask, want_grad=False):
-    """Closed-form constant-sum support:  sum_j R_j (nu_j - min_k nu_k/g)_+."""
-    nu_real = np.where(mask > 0, nu_s, np.inf)
-    cstar = np.min(nu_real, axis=1) / gamma
-    gain = np.maximum(nu_s - cstar[:, None], 0.0)
+def _cs_bound(nu_s, R, gamma, q, mask, want_grad=False):
+    """Closed-form (weighted) constant-sum support.
+
+    phi = sum_j q_j x_j: withdrawing L_j and re-depositing through the
+    cheapest asset per weighted unit, cstar = min_k nu_k / (g q_k), gives
+
+        bound = sum_j R_j (nu_j - q_j cstar)_+
+
+    (q = 1 recovers the uniform formula).  Withdraw everything priced
+    above its weighted redeposit cost; x >= 0 caps L_j at R_j."""
+    q_safe = np.where(mask > 0, q, 1.0)
+    ratio = np.where(mask > 0, nu_s / q_safe, np.inf)
+    cstar = np.min(ratio, axis=1) / gamma
+    gain = np.maximum(nu_s - q_safe * cstar[:, None], 0.0)
     bound = np.sum(np.where(mask > 0, R * gain, 0.0), axis=1)
     if not want_grad:
         return bound
     active = (gain > 0.0) & (mask > 0)
     grad = np.where(active, R, 0.0)
-    # the argmin (deposited) asset absorbs -sum(active R)/gamma
-    kmin = np.argmin(nu_real, axis=1)
-    dep = -np.sum(np.where(active, R, 0.0), axis=1) / gamma
+    # the argmin (deposited) asset absorbs -sum(active q R)/(g q_kmin)
+    kmin = np.argmin(ratio, axis=1)
+    qmin = np.take_along_axis(q_safe, kmin[:, None], axis=1)[:, 0]
+    dep = -np.sum(np.where(active, q * R, 0.0), axis=1) / (gamma * qmin)
     np.put_along_axis(grad, kmin[:, None], dep[:, None], axis=1)
     return bound, grad
 
@@ -279,7 +289,9 @@ def _dual_value_and_grad(compiled, c, lo, hi, nu):
                 want_grad=True,
             )
         else:
-            bound, gb = _cs_bound(nu_s, b.reserves, gam, b.mask, want_grad=True)
+            bound, gb = _cs_bound(
+                nu_s, b.reserves, gam, b.weights, b.mask, want_grad=True
+            )
         g_val += float(np.sum(bound))
         np.add.at(acc, b.asset.reshape(-1), gb.reshape(-1))
     grad += acc[:n]
@@ -377,7 +389,9 @@ def _pool_supports(compiled: CompiledProblem, u: np.ndarray) -> float:
                                  b.logk0, b.mask))
             )
         else:
-            total += float(np.sum(_cs_bound(nu_s, b.reserves, g, b.mask)))
+            total += float(
+                np.sum(_cs_bound(nu_s, b.reserves, g, b.weights, b.mask))
+            )
     return total
 
 
@@ -471,7 +485,7 @@ def certify(
             h = np.sum(b.weights * np.log(y), axis=1)
             phi_viol = max(phi_viol, float(np.max(b.logk0 - h, initial=0.0)))
         else:
-            tot = np.sum(np.where(mask > 0, np.maximum(x, 0.0), 0.0), axis=1)
+            tot = np.sum(b.weights * np.maximum(x, 0.0), axis=1)
             phi_viol = max(
                 phi_viol,
                 float(
@@ -492,7 +506,9 @@ def certify(
                 np.sum(_gm_bound(nu_s, b.reserves, b.weights, b.shift, g, b.logk0, mask))
             )
         else:
-            dual_pools += float(np.sum(_cs_bound(nu_s, b.reserves, g, mask)))
+            dual_pools += float(
+                np.sum(_cs_bound(nu_s, b.reserves, g, b.weights, mask))
+            )
 
     psi_hat = psi_hat[:n]
     box_viol = float(

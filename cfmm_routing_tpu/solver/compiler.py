@@ -132,12 +132,13 @@ class Bucket:
     to device):
 
       reserves  (m, K)  current reserves R (0 in padding)
-      weights   (m, K)  normalized phi weights, sum_j w = 1 per pool
-                        (0 in padding; for 'cs' this is the slot mask)
+      weights   (m, K)  'gm': normalized phi weights, sum_j w = 1 per pool
+                        'cs': raw linear coefficients q_j > 0 (uniform
+                        pools carry 1.0);  0 in padding for both
       shift     (m, K)  virtual-reserve offsets (0 unless bounded pools)
       gamma     (m, 1)  fee multipliers
       logk0     (m,)    'gm': sum_j w_j*log(R_j+s_j)   'cs': unused
-      k0        (m,)    'cs': sum_j R_j                'gm': exp(logk0)
+      k0        (m,)    'cs': sum_j q_j R_j            'gm': exp(logk0)
       mask      (m, K)  1.0 on real slots, 0.0 on padding
       asset     (m, K)  int32 global asset index (== n_assets on padding)
     """
@@ -188,7 +189,7 @@ def _fill_bucket_numpy(table: PoolTable, rows, m, K, is_gm,
         src = o_rows[sel] + j
         rr = np.nonzero(sel)[0]
         R[rr, j] = table.reserves[src]
-        W[rr, j] = table.weights[src] if is_gm else 1.0
+        W[rr, j] = table.weights[src]
         S[rr, j] = table.shifts[src]
         mask[rr, j] = 1.0
         asset[rr, j] = table.assets[src]
@@ -200,8 +201,10 @@ def _fill_bucket_numpy(table: PoolTable, rows, m, K, is_gm,
         np.sum(W * np.log(safe), axis=1, out=logk0)
         np.exp(logk0, out=k0)
     else:
+        # 'cs' weights stay RAW (phi = sum q_j x_j; normalizing would
+        # rescale k0 out of the caller's units)
         logk0[:] = 0.0
-        np.sum(R * mask, axis=1, out=k0)
+        np.sum(R * W, axis=1, out=k0)
 
 
 def compile_table(
@@ -228,17 +231,28 @@ def compile_table(
     n = table.n_assets
     P = table.n_pools
 
-    if pad_pow2:
-        Ks = np.maximum(
-            2, (1 << np.ceil(np.log2(np.maximum(table.width, 2))).astype(np.int64))
-        ).astype(np.int32)
+    if pad_pow2 and use_native:
+        # native grouping path: C++ computes the (kind, next_pow2(K), floor)
+        # key per pool (packer.cpp bucket_keys); bit-identical to the numpy
+        # expression below (tests/test_native.py)
+        keys = native.bucket_keys(
+            np.ascontiguousarray(table.width, np.int32),
+            np.ascontiguousarray(table.kind, np.uint8),
+            np.ascontiguousarray(table.floor, np.uint8),
+        )
     else:
-        Ks = np.maximum(2, table.width).astype(np.int32)
-    keys = (
-        (table.kind.astype(np.int32) << 24)
-        | (Ks.astype(np.int32) << 1)
-        | table.floor.astype(np.int32)
-    )
+        if pad_pow2:
+            Ks = np.maximum(
+                2,
+                (1 << np.ceil(np.log2(np.maximum(table.width, 2))).astype(np.int64)),
+            ).astype(np.int32)
+        else:
+            Ks = np.maximum(2, table.width).astype(np.int32)
+        keys = (
+            (table.kind.astype(np.int32) << 24)
+            | (Ks.astype(np.int32) << 1)
+            | table.floor.astype(np.int32)
+        )
 
     buckets: Dict[str, Bucket] = {}
     degree = np.zeros(n, dtype=np.float64)

@@ -118,13 +118,30 @@ class ChunkedDriver:
     fused Pallas path (``AdmmSolver._iterate_fused``; ~2.5x throughput at
     100k pools) and harvests residuals with one classic iteration per
     chunk; requires lane-aligned pool counts (``pad_pools_to=128``/1024).
+    ``interpret=True`` runs the fused kernels in Pallas interpret mode
+    (CPU tests) — it must be passed explicitly, a global
+    ``force_tpu_interpret_mode()`` context is not detected.
     """
 
-    def __init__(self, solver: AdmmSolver, chunk: int = 200,
-                 fused: bool = False):
-        self.solver = solver
+    def __init__(self, solver, chunk: int = 200,
+                 fused: bool = False, interpret: bool = False):
+        from ..parallel.sharded import ShardedAdmmSolver
+
         self.chunk = int(chunk)
         self.fused = bool(fused)
+        self.interpret = bool(interpret)
+        if isinstance(solver, ShardedAdmmSolver):
+            # sharded chunks: the same driver loop around an SPMD chunk
+            # program (pools sharded, fused or classic; alignment is
+            # validated per-device inside make_chunk_fn)
+            self.sharded = solver
+            self.solver = solver.inner
+            self._chunk_jit = solver.make_chunk_fn(
+                self.chunk, fused=self.fused, interpret=self.interpret
+            )
+            return
+        self.sharded = None
+        self.solver = solver
         if self.fused:
             for name, arrs in solver.buckets.items():
                 if arrs["mask"].shape[1] % 128 != 0:
@@ -164,7 +181,8 @@ class ChunkedDriver:
         def body(i, st):
             s, wdef, nu = st
             s, wdef, nu, _, _ = sol._iterate_fused(
-                s, wdef, nu, rho, c, lo, hi, util=util
+                s, wdef, nu, rho, c, lo, hi, util=util,
+                interpret=self.interpret,
             )
             return (s, wdef, nu)
 

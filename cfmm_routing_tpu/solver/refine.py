@@ -84,8 +84,19 @@ def refine(
             # no f32 TPU buffer is captured in an f64 trace
             cur = _to_host(result)
 
+            def _hit(c):
+                return c.gap_rel <= target_gap and c.feasibility <= target_gap
+
+            # each polish is up to max_evals L-BFGS evaluations, each a full
+            # O(m) bucket sweep with an 80-step bisection — at 100k pools
+            # the polish, not the f64 iterations, would dominate the refine
+            # wall-clock if run unconditionally per chunk.  Scale it down
+            # with problem size; it is an accelerator, never load-bearing.
+            polish_evals = 200 if compiled.n_pools <= 20_000 else 50
+
             def _cert(point):
-                """Certify at the ADMM duals AND at L-BFGS-polished prices,
+                """Certify at the ADMM duals AND (only when the plain
+                certificate misses the target) at L-BFGS-polished prices,
                 keeping the tighter bound.  Rigor is free: every repaired
                 price vector yields a valid dual bound, and the polish
                 (minimize the bound's convex dual function over nu) often
@@ -100,9 +111,12 @@ def refine(
                     point.prices,
                     psi_claimed=point.psi,
                 )
+                if _hit(cert):
+                    return cert
                 try:
                     nu_p = polish_prices(
-                        compiled, objective, np.asarray(point.prices)
+                        compiled, objective, np.asarray(point.prices),
+                        max_evals=polish_evals,
                     )
                     cert_p = certify(
                         compiled,
@@ -117,9 +131,6 @@ def refine(
                 except Exception:
                     pass  # the polish is an accelerator, never load-bearing
                 return cert
-
-            def _hit(c):
-                return c.gap_rel <= target_gap and c.feasibility <= target_gap
 
             # the incoming point may already certify (e.g. an f64 solve or a
             # re-refine) — then the polish costs zero iterations

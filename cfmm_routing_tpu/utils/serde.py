@@ -66,6 +66,8 @@ def _pool_from_dict(d: dict) -> Pool:
         kw["weights"] = d["weights"]
     elif t == "bounded_product":
         kw["shifts"] = d["shifts"]
+    elif t == "constant_sum" and "weights" in d:
+        kw["weights"] = d["weights"]  # weighted linear invariant q_j
     return _POOL_TYPES[t](**kw)
 
 
@@ -83,6 +85,10 @@ def _pool_to_dict(p: Pool) -> dict:
         d["shifts"] = [float(x) for x in p.shift]
     elif isinstance(p, ConstantSumPool):
         d["type"] = "constant_sum"
+        import numpy as _np
+
+        if not _np.all(p.weights == 1.0):
+            d["weights"] = [float(x) for x in p.weights]
     else:
         d["type"] = "product"
     return d

@@ -201,15 +201,11 @@ def test_fused_chunks_match_classic_chunks():
         compile_spec(spec, pad_pools_to=128), dtype=jnp.float32,
         options=AdmmOptions(max_iters=10000, eps_abs=2e-6, eps_rel=2e-6),
     )
-    import jax
-    from jax.experimental.pallas import tpu as pltpu
-
     classic = ChunkedDriver(solver, chunk=100)
     res_c, log_c = classic.solve(obj, max_iters=4000)
 
-    fused = ChunkedDriver(solver, chunk=100, fused=True)
-    with pltpu.force_tpu_interpret_mode():
-        res_f, log_f = fused.solve(obj, max_iters=4000)
+    fused = ChunkedDriver(solver, chunk=100, fused=True, interpret=True)
+    res_f, log_f = fused.solve(obj, max_iters=4000)
     assert log_f.status == "converged"
     np.testing.assert_allclose(
         float(res_f.objective), float(res_c.objective), rtol=1e-4

@@ -37,6 +37,20 @@ def test_arbitrage_objective():
     assert abs(float(res.objective) - 21.499805) / 21.499805 < 1e-6
 
 
+def test_check_every_matches_per_iteration_checks():
+    """check_every=5 (stats-free fast iterations between residual checks)
+    converges to the same objective as per-iteration checking."""
+    spec, obj = arbitrage_instance()
+    import dataclasses
+
+    opts5 = dataclasses.replace(OPTS, check_every=5)
+    solver = AdmmSolver(compile_spec(spec), dtype=jnp.float64, options=opts5)
+    res = solver.solve(obj)
+    assert bool(res.converged)
+    assert int(res.iters) % 5 == 0
+    assert abs(float(res.objective) - 21.499805) / 21.499805 < 1e-6
+
+
 def test_arbitrage_route_is_feasible():
     """The returned trades must be executable: every pool's phi must not
     decrease, and psi must satisfy the side constraints."""

@@ -59,6 +59,26 @@ def test_native_matches_numpy(seed):
     _assert_compiled_equal(a, b)
 
 
+def test_native_bucket_keys_match_numpy():
+    """The C++ grouping key (used by compile_table on the native path)
+    matches the numpy key expression bit for bit."""
+    table = random_network_table(32, 300, seed=2)
+    keys = native.bucket_keys(
+        np.ascontiguousarray(table.width, np.int32),
+        np.ascontiguousarray(table.kind, np.uint8),
+        np.ascontiguousarray(table.floor, np.uint8),
+    )
+    Ks = np.maximum(
+        2, (1 << np.ceil(np.log2(np.maximum(table.width, 2))).astype(np.int64))
+    ).astype(np.int32)
+    expect = (
+        (table.kind.astype(np.int32) << 24)
+        | (Ks.astype(np.int32) << 1)
+        | table.floor.astype(np.int32)
+    )
+    np.testing.assert_array_equal(keys, expect)
+
+
 @pytest.mark.parametrize("seed", [0, 3])
 def test_table_path_matches_object_path(seed):
     spec = random_network(16, 120, seed=seed)

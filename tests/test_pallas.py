@@ -74,8 +74,29 @@ def test_cs_pallas_matches_jnp(seed, K):
     p = rng.uniform(-8, 8, size=(K, m))
     q = rng.uniform(-8, 8, size=(K, m))
     k0 = R.sum(axis=0)
+    w = np.ones((K, m))
     args = tuple(
-        jnp.asarray(a, jnp.float32) for a in (p, q, R, gamma, k0, mask)
+        jnp.asarray(a, jnp.float32) for a in (p, q, R, gamma, w, k0, mask)
+    )
+    D0, L0 = project_cs(*args, cfg=CFG)
+    D1, L1 = project_cs_pallas(*args, cfg=CFG, interpret=True)
+    np.testing.assert_allclose(np.asarray(D1), np.asarray(D0), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(L1), np.asarray(L0), atol=5e-5)
+
+
+def test_cs_pallas_weighted_matches_jnp():
+    """Weighted constant-sum (phi = sum q_j x_j) in the fused kernel path."""
+    rng = np.random.default_rng(11)
+    K, m = 2, M
+    R = rng.uniform(0.3, 30.0, size=(K, m))
+    w = rng.uniform(0.25, 4.0, size=(K, m))
+    mask = np.ones((K, m))
+    gamma = rng.uniform(0.9, 1.0, size=m)
+    p = rng.uniform(-8, 8, size=(K, m))
+    q = rng.uniform(-8, 8, size=(K, m))
+    k0 = (w * R).sum(axis=0)
+    args = tuple(
+        jnp.asarray(a, jnp.float32) for a in (p, q, R, gamma, w, k0, mask)
     )
     D0, L0 = project_cs(*args, cfg=CFG)
     D1, L1 = project_cs_pallas(*args, cfg=CFG, interpret=True)

@@ -1,0 +1,129 @@
+"""Per-asset diagonal equilibration (solver/precondition.py).
+
+The transformation is a change of token units: it must preserve the
+optimum exactly, turn uniform constant-sum pools into weighted ones, and
+— the point — cut ADMM iteration counts on badly-scaled networks.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cfmm_routing_tpu.models.pools import ConstantSumPool, ProductPool
+from cfmm_routing_tpu.models.utility import Objective
+from cfmm_routing_tpu.oracle import oracle_solve
+from cfmm_routing_tpu.solver.admm import AdmmOptions, AdmmSolver
+from cfmm_routing_tpu.solver.certify import certify
+from cfmm_routing_tpu.solver.compiler import (
+    PoolTable,
+    ProblemSpec,
+    compile_spec,
+    compile_table,
+)
+from cfmm_routing_tpu.solver.precondition import (
+    asset_scales,
+    equilibrate,
+    unscale_result,
+)
+from cfmm_routing_tpu.utils.synth import random_arbitrage_table
+
+OPTS = AdmmOptions(max_iters=30000, eps_abs=1e-10, eps_rel=1e-10)
+
+
+def _skewed_problem(seed=3, n_assets=16, n_pools=200, decades=5):
+    """A well-scaled random network re-expressed in wildly mismatched
+    per-asset base units (10^[-decades, decades])."""
+    table, obj = random_arbitrage_table(n_assets, n_pools, seed=seed)
+    rng = np.random.default_rng(seed + 100)
+    u = rng.integers(-decades, decades + 1, size=n_assets).astype(np.float64)
+    skew = equilibrate(table, obj, d=2.0 ** (u * 3.3219281))  # ~10^u, pow2
+    return skew.table, skew.objective
+
+
+def test_weighted_cs_pool_end_to_end():
+    """A hand-built weighted constant-sum pool routes correctly vs the
+    scipy oracle (the projection/certify/oracle weighted paths agree)."""
+    spec = ProblemSpec(
+        n_assets=3,
+        pools=[
+            ProductPool((0, 1), [10.0, 10.0], fee=0.997),
+            ConstantSumPool((1, 2), [8.0, 30.0], fee=0.999,
+                            weights=[2.0, 0.5]),
+        ],
+    )
+    obj = Objective.arbitrage([1.0, 1.1, 0.6])
+    compiled = compile_spec(spec)
+    solver = AdmmSolver(compiled, dtype=jnp.float64, options=OPTS)
+    res = solver.solve(obj)
+    assert bool(res.converged)
+    ref = oracle_solve(spec, obj)
+    np.testing.assert_allclose(
+        float(res.objective), ref.objective, rtol=1e-6, atol=1e-8
+    )
+    cert = certify(
+        compiled, obj, res.deltas, res.lambdas, np.asarray(res.prices),
+        psi_claimed=np.asarray(res.psi),
+    )
+    assert cert.gap_rel < 1e-6
+    assert cert.feasibility < 1e-8
+
+
+def test_equilibrate_preserves_optimum():
+    """Solving the equilibrated problem and unscaling reproduces the
+    skewed problem's optimum (objective invariant, certificate valid in
+    original units)."""
+    bad_table, bad_obj = _skewed_problem()
+    compiled_bad = compile_table(bad_table)
+
+    eq = equilibrate(bad_table, bad_obj)
+    compiled_eq = compile_table(eq.table)
+    solver = AdmmSolver(compiled_eq, dtype=jnp.float64, options=OPTS)
+    res = solver.solve(eq.objective)
+    assert bool(res.converged)
+
+    res0 = unscale_result(res, eq.d, compiled_eq)
+    # certify the unscaled routing against the ORIGINAL (skewed) problem
+    cert = certify(
+        compiled_bad, bad_obj, res0.deltas, res0.lambdas,
+        np.asarray(res0.prices), psi_claimed=np.asarray(res0.psi),
+    )
+    assert cert.feasibility < 1e-7 * max(
+        1.0, float(np.max(np.abs(np.asarray(res0.psi))))
+    )
+    assert cert.gap_rel < 1e-6
+    # objective value is unit-invariant
+    np.testing.assert_allclose(
+        float(np.dot(bad_obj.c, np.asarray(res0.psi))),
+        float(res.objective), rtol=1e-9,
+    )
+
+
+def test_equilibration_cuts_iterations_on_skewed_network():
+    """The measured point of the preconditioner: on a unit-skewed network
+    the equilibrated solve reaches tolerance in (far) fewer iterations."""
+    bad_table, bad_obj = _skewed_problem(seed=9, decades=4)
+    opts = dataclasses.replace(OPTS, eps_abs=1e-7, eps_rel=1e-7,
+                               max_iters=30000)
+
+    raw = AdmmSolver(compile_table(bad_table), dtype=jnp.float64,
+                     options=opts).solve(bad_obj)
+
+    eq = equilibrate(bad_table, bad_obj)
+    pre = AdmmSolver(compile_table(eq.table), dtype=jnp.float64,
+                     options=opts).solve(eq.objective)
+    assert bool(pre.converged)
+    # the equilibrated run must be decisively cheaper (or the raw run
+    # failed to converge at all inside the budget)
+    assert (not bool(raw.converged)) or int(pre.iters) <= int(raw.iters) // 2, (
+        int(pre.iters), int(raw.iters),
+    )
+
+
+def test_asset_scales_power_of_two():
+    table, obj = random_arbitrage_table(12, 50, seed=1)
+    for mode in ("reserves", "prices", "blend"):
+        d = asset_scales(table, obj, mode=mode)
+        assert np.all(d > 0)
+        np.testing.assert_array_equal(d, 2.0 ** np.round(np.log2(d)))

@@ -53,8 +53,9 @@ def _scipy_project_gm(p, q, R, w, s, gamma, needs_floor):
     return best.x[:k], best.x[k:]
 
 
-def _scipy_project_cs(p, q, R, gamma):
+def _scipy_project_cs(p, q, R, gamma, w=None):
     k = len(R)
+    w = np.ones(k) if w is None else np.asarray(w)
 
     def fun(x):
         return 0.5 * (np.sum((x[:k] - p) ** 2) + np.sum((x[k:] - q) ** 2))
@@ -62,7 +63,7 @@ def _scipy_project_cs(p, q, R, gamma):
     def jac(x):
         return np.concatenate([x[:k] - p, x[k:] - q])
 
-    row = np.concatenate([np.full(k, gamma), np.full(k, -1.0)])
+    row = np.concatenate([gamma * w, -w])
     A = np.zeros((k, 2 * k))
     for j in range(k):
         A[j, j] = gamma
@@ -148,8 +149,30 @@ def test_project_cs_matches_scipy(seed, k):
 
     D, L = project_cs(
         jnp.asarray(p)[:, None], jnp.asarray(q)[:, None], jnp.asarray(R)[:, None],
-        jnp.full((1,), gamma), jnp.asarray([R.sum()]), jnp.ones((k, 1)),
-        cfg=CFG,
+        jnp.full((1,), gamma), jnp.ones((k, 1)), jnp.asarray([R.sum()]),
+        jnp.ones((k, 1)), cfg=CFG,
+    )
+    np.testing.assert_allclose(np.asarray(D[:, 0]), D_ref, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(L[:, 0]), L_ref, atol=5e-6)
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("k", [2, 3])
+def test_project_cs_weighted_matches_scipy(seed, k):
+    """Weighted constant-sum (phi = sum q_j x_j): the preconditioner's
+    image of a uniform cs pool under per-asset rescaling."""
+    rng = np.random.default_rng(300 + seed)
+    R = rng.uniform(0.5, 30.0, size=k)
+    w = rng.uniform(0.25, 4.0, size=k)
+    gamma = float(rng.uniform(0.9, 1.0))
+    p, q = _rand_points(rng, k, 10.0)
+
+    D_ref, L_ref = _scipy_project_cs(p, q, R, gamma, w=w)
+
+    D, L = project_cs(
+        jnp.asarray(p)[:, None], jnp.asarray(q)[:, None], jnp.asarray(R)[:, None],
+        jnp.full((1,), gamma), jnp.asarray(w)[:, None],
+        jnp.asarray([float(w @ R)]), jnp.ones((k, 1)), cfg=CFG,
     )
     np.testing.assert_allclose(np.asarray(D[:, 0]), D_ref, atol=5e-6)
     np.testing.assert_allclose(np.asarray(L[:, 0]), L_ref, atol=5e-6)

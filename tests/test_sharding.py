@@ -135,3 +135,123 @@ def test_asset_sharded_reference_instance():
     res = sharded.solve(obj)
     assert bool(res.converged)
     np.testing.assert_allclose(float(res.objective), 21.499805, rtol=1e-6)
+
+
+# ---- fused Pallas path under shard_map --------------------------------------
+
+
+def _fused_setup(n_dev, k, n_assets=16, n_pools=96, seed=11):
+    from cfmm_routing_tpu.utils.synth import random_arbitrage
+
+    spec, obj = random_arbitrage(n_assets, n_pools, seed=seed)
+    mesh = pool_mesh(n_devices=n_dev, platform="cpu")
+    opts = AdmmOptions(
+        max_iters=k + 1, eps_abs=0.0, eps_rel=0.0, adapt_rho=False,
+        consensus="onehot",
+    )
+    sharded = ShardedAdmmSolver(
+        spec, mesh, dtype=jnp.float32, options=opts,
+        pad_pools_to=128 * n_dev,
+    )
+    return sharded, obj, opts
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_fused_sharded_matches_fused_single_device(n_dev):
+    """solve_fused under shard_map == solve_fused single-device over the
+    SAME padded compiled problem (psum reduction order is the only
+    difference) — the v5p north-star config's correctness pin."""
+    k = 10
+    sharded, obj, opts = _fused_setup(n_dev, k)
+    res_s = sharded.solve_fused(obj, iters=k, interpret=True)
+
+    single = AdmmSolver(sharded.compiled, dtype=jnp.float32, options=opts)
+    res_1 = single.solve_fused(obj, iters=k, interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(res_s.psi), np.asarray(res_1.psi), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(res_s.objective), float(res_1.objective), rtol=1e-4, atol=1e-3
+    )
+    assert int(res_s.iters) == k + 1
+
+
+def test_fused_sharded_rejects_unaligned_shards():
+    from cfmm_routing_tpu.utils.synth import random_arbitrage
+
+    spec, obj = random_arbitrage(16, 96, seed=11)
+    mesh = pool_mesh(n_devices=4, platform="cpu")
+    sharded = ShardedAdmmSolver(
+        spec, mesh, dtype=jnp.float32,
+        options=AdmmOptions(max_iters=5), pad_pools_to=128,  # 32/device
+    )
+    with pytest.raises(ValueError, match="pad_pools_to"):
+        sharded.solve_fused(obj, iters=3, interpret=True)
+
+
+def test_chunked_driver_on_sharded_solver_fused():
+    """ChunkedDriver(fused=True) around a ShardedAdmmSolver: the sharded
+    chunk program converges to the single-device answer."""
+    from cfmm_routing_tpu.solver.driver import ChunkedDriver
+    from cfmm_routing_tpu.utils.synth import random_arbitrage
+
+    spec, obj = random_arbitrage(16, 96, seed=11)
+    mesh = pool_mesh(n_devices=4, platform="cpu")
+    opts = AdmmOptions(max_iters=10**6, eps_abs=2e-5, eps_rel=2e-5)
+    sharded = ShardedAdmmSolver(
+        spec, mesh, dtype=jnp.float32, options=opts, pad_pools_to=128 * 4
+    )
+    drv = ChunkedDriver(sharded, chunk=100, fused=True, interpret=True)
+    res, log = drv.solve(obj, max_iters=4000)
+    assert log.status == "converged"
+
+    single = AdmmSolver(sharded.compiled, dtype=jnp.float32, options=opts)
+    res_1 = single.solve(obj)
+    np.testing.assert_allclose(
+        float(res.objective), float(res_1.objective), rtol=1e-3
+    )
+
+
+def test_sharded_concave_utility_matches_single_device():
+    """ConcaveUtility objectives run on the sharded path (classic and
+    fused) and match the single-device solve."""
+    from cfmm_routing_tpu.models.utility import ConcaveUtility
+
+    rng = np.random.default_rng(5)
+    spec = _random_network(rng, n_assets=12, n_pools=24)
+    c = rng.uniform(0.5, 5.0, size=12)
+    util = ConcaveUtility.linear(c, lo=np.zeros(12))
+    for j in (0, 3, 7):
+        util = util.with_log(j, float(c[j]), 2.0).with_box(j, 0.0, 50.0)
+
+    mesh = pool_mesh(n_devices=4, platform="cpu")
+    sharded = ShardedAdmmSolver(spec, mesh, dtype=jnp.float64, options=OPTS)
+    res_s = sharded.solve(util)
+
+    single = AdmmSolver(compile_spec(spec), dtype=jnp.float64, options=OPTS)
+    res_1 = single.solve(util)
+
+    assert bool(res_s.converged) and bool(res_1.converged)
+    np.testing.assert_allclose(
+        float(res_s.objective), float(res_1.objective), rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.psi), np.asarray(res_1.psi), atol=1e-6
+    )
+
+
+def test_sharded_custom_utility_raises():
+    from cfmm_routing_tpu.models.utility import CustomUtility
+
+    spec, _ = arbitrage_instance()
+    mesh = pool_mesh(n_devices=2, platform="cpu")
+    sharded = ShardedAdmmSolver(
+        spec, mesh, dtype=jnp.float64, options=AdmmOptions(max_iters=10)
+    )
+    cu = CustomUtility(
+        fn=lambda psi: jnp.sum(psi), lo=np.zeros(4), hi=np.full(4, np.inf),
+        smoothness=1.0,
+    )
+    with pytest.raises(NotImplementedError, match="sharded"):
+        sharded.solve(cu)

@@ -97,7 +97,7 @@ mask = np.ones((K, m)); gamma = rng.uniform(0.9, 1.0, size=m)
 p = rng.uniform(-8, 8, size=(K, m)); q = rng.uniform(-8, 8, size=(K, m))
 args = tuple(
     jnp.asarray(a, jnp.float32)
-    for a in (p, q, R, gamma, R.sum(axis=0), mask)
+    for a in (p, q, R, gamma, np.ones((K, m)), R.sum(axis=0), mask)
 )
 D0, L0 = project_cs(*args, cfg=CFG)
 D1, L1 = project_cs_pallas(*args, cfg=CFG)
