@@ -1,18 +1,22 @@
 """Wall-clock-to-certified-gap benchmark grid (SURVEY.md §7.7, BASELINE).
 
-For each (m pools, B scenarios) config this measures, on the real chip:
+For each network size this measures, on the real chip:
 
-  * solve-seconds until the RIGOROUS host certificate (solver/certify.py)
-    first reports gap_rel <= 1e-3 with relative box feasibility <= 1e-3
-    (certification time itself is excluded from the solve clock and
-    reported separately);
-  * the host f64 refine stage's extra seconds to a certified 1e-6 gap
-    (the ECOS-parity criterion behind /root/reference/arbitrage.py:82).
-
-The reference cannot run any of these sizes: its cvxpy->ECOS stack is a
-serial CPU interior-point method.  Scenario batches (B > 1) replace the
-reference's 50-solve Python loop (two-asset.py:40) with ONE vmapped
-device call.
+  * the equilibrated f32 on-device solve (per-asset power-of-two unit
+    scaling, solver/precondition.py; fused Pallas chunks) run until the
+    RIGOROUS host certificate — evaluated in ORIGINAL units on the
+    un-scaled problem (solver/certify.py, f64 dual bound valid for any
+    prices) — first reports relative gap <= 1e-3, and then <= 1e-6 with
+    relative feasibility at the same level (the ECOS-parity criterion
+    behind /root/reference/arbitrage.py:82).  Certification time is
+    excluded from the solve clock and reported per pass;
+  * if the f32 device solve stalls before 1e-6, the host f64 refine
+    stage finishes the job (solver/refine.py) — with equilibration this
+    fallback is not normally needed;
+  * scenario batches: B objective scenarios as ONE vmapped device call
+    (replaces the reference's 50-solve Python loop, two-asset.py:40) and
+    B per-pool reserve states via solve_batch_reserves (BASELINE
+    config 5).
 
 Writes BENCH_GRID.md and prints one JSON line per config to stdout.
 """
@@ -37,73 +41,59 @@ import jax.numpy as jnp
 import numpy as np
 
 CHUNK = 250
-MAX_ITERS = 8000
-GAP_F32 = 1e-3
-GAP_REFINE = 1e-6
+MAX_ITERS = 12_000
+GAP_LOOSE = 1e-3
+GAP_TIGHT = 1e-6
 
 
 def _log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
-def _certify_state(solver, compiled, obj, z, nu, rho, psi):
-    """Project once for exactly-feasible trades, then host-certify."""
+def _certify_orig(solver, compiled_eq, compiled_orig, obj, d, z, nu, rho, psi):
+    """Project once for exactly-feasible trades (scaled space), un-scale to
+    original units, and run the rigorous certificate there."""
     from cfmm_routing_tpu.solver.certify import certify
 
+    d_ext = np.concatenate([d, [1.0]])
     w_out = {}
     for name, arrs in solver.buckets.items():
         nu_e = solver._bcast_nu(nu, name)
         zD, zL = z[name]
         D, L = solver._project(name, arrs, zD - nu_e, zL + nu_e)
-        w_out[name] = (np.asarray(D), np.asarray(L))
+        ds = d_ext[compiled_eq.buckets[name].asset].T  # (K, m)
+        w_out[name] = (np.asarray(D) * ds, np.asarray(L) * ds)
     cert = certify(
-        compiled, obj,
+        compiled_orig, obj,
         {k: v[0] for k, v in w_out.items()},
         {k: v[1] for k, v in w_out.items()},
-        np.asarray(rho * nu, np.float64),
-        psi_claimed=np.asarray(psi, np.float64),
+        np.asarray(rho * nu, np.float64) / d,
+        psi_claimed=np.asarray(psi, np.float64) * d,
     )
-    psi_scale = float(np.max(np.abs(np.asarray(psi)), initial=1.0))
-    feas_rel = cert.feasibility / max(1.0, psi_scale)
-    return cert, feas_rel, w_out
-
-
-def _result_from_state(solver, obj, z, nu, rho, psi, w_out, iters):
-    from cfmm_routing_tpu.solver.admm import RouteResult
-
-    c = jnp.asarray(obj.c, solver.dtype)
-    return RouteResult(
-        objective=jnp.sum(c * psi),
-        psi=psi,
-        prices=rho * nu,
-        deltas={k: v[0] for k, v in w_out.items()},
-        lambdas={k: v[1] for k, v in w_out.items()},
-        iters=jnp.asarray(iters, jnp.int32),
-        r_norm=jnp.zeros((), solver.dtype),
-        s_norm=jnp.zeros((), solver.dtype),
-        converged=jnp.asarray(False),
-        rho_final=rho,
-    )
+    return cert, w_out
 
 
 def run_config(m, n_assets, B, fused):
-    from cfmm_routing_tpu.solver.admm import AdmmOptions, AdmmSolver
+    from cfmm_routing_tpu.solver.admm import AdmmOptions, AdmmSolver, RouteResult
     from cfmm_routing_tpu.solver.compiler import compile_table
     from cfmm_routing_tpu.solver.driver import ChunkedDriver
+    from cfmm_routing_tpu.solver.precondition import equilibrate
     from cfmm_routing_tpu.solver.refine import refine
     from cfmm_routing_tpu.utils.synth import random_arbitrage_table
 
     table, obj = random_arbitrage_table(n_assets, m, seed=7)
+    eq = equilibrate(table, obj)
     # 1024-pool padding at EVERY size: the fused kernel's compiled tiles
     # must be 8-sublane aligned (rows < 8 hangs the Mosaic compiler)
-    compiled = compile_table(table, pad_pools_to=1024)
+    compiled = compile_table(eq.table, pad_pools_to=1024)
+    compiled_orig = compile_table(table, pad_pools_to=1024)
     opts = AdmmOptions(max_iters=10**6, eps_abs=0.0, eps_rel=0.0)
     solver = AdmmSolver(compiled, dtype=jnp.float32, options=opts)
     drv = ChunkedDriver(solver, chunk=CHUNK, fused=fused)
 
-    c = jnp.asarray(obj.c, jnp.float32)
-    lo = jnp.asarray(np.maximum(obj.lo, -3e38), jnp.float32)
-    hi = jnp.asarray(np.minimum(obj.hi, 3e38), jnp.float32)
+    c = jnp.asarray(eq.objective.c, jnp.float32)
+    lo = jnp.asarray(np.maximum(eq.objective.lo, -3e38), jnp.float32)
+    hi = jnp.asarray(np.minimum(eq.objective.hi, 3e38), jnp.float32)
     z = {
         nm: (jnp.zeros_like(a["mask"]), jnp.zeros_like(a["mask"]))
         for nm, a in solver.buckets.items()
@@ -121,8 +111,12 @@ def run_config(m, n_assets, B, fused):
     solve_s = 0.0
     cert_s = 0.0
     iters = 0
-    gap = feas = float("inf")
+    loose = None  # (iters, solve_s) at first certified 1e-3
+    tight = None  # at first certified 1e-6
+    best_gap = float("inf")
+    since_best = 0
     cert = None
+    w_out = None
     while iters < MAX_ITERS:
         t0 = time.perf_counter()
         z, nu, r2, s2, w2, z2, u2, psi, objv = drv._chunk_jit(
@@ -138,49 +132,85 @@ def run_config(m, n_assets, B, fused):
         elif s > 3.0 * r:
             rho, nu = rho / 2.0, nu * 2.0
         t0 = time.perf_counter()
-        cert, feas, w_out = _certify_state(solver, compiled, obj, z, nu, rho, psi)
-        cert_s += time.perf_counter() - t0
-        gap = cert.gap_rel
-        _log(
-            f"m={m} B=1 it={iters}: r={r:.2e} s={s:.2e} gap={gap:.2e} "
-            f"feas_rel={feas:.2e} solve={solve_s:.2f}s"
+        cert, w_out = _certify_orig(
+            solver, compiled, compiled_orig, obj, eq.d, z, nu, rho, psi
         )
-        if gap <= GAP_F32 and feas <= GAP_F32:
+        cert_pass = time.perf_counter() - t0
+        cert_s += cert_pass
+        gap, feas = cert.gap_rel, cert.feasibility_rel
+        _log(
+            f"m={m} it={iters}: r={r:.2e} s={s:.2e} gap={gap:.2e} "
+            f"feas_rel={feas:.2e} solve={solve_s:.2f}s cert_pass={cert_pass:.2f}s"
+        )
+        score = max(gap, feas)
+        if loose is None and gap <= GAP_LOOSE and feas <= GAP_LOOSE:
+            loose = (iters, solve_s)
+        if gap <= GAP_TIGHT and feas <= GAP_TIGHT:
+            tight = (iters, solve_s)
             break
+        if score < 0.7 * best_gap:
+            best_gap = score
+            since_best = 0
+        else:
+            since_best += 1
+            if since_best >= 10:
+                _log(f"m={m}: f32 stalled at {score:.1e}; falling back to refine")
+                break
 
     row = dict(
-        m=m, n_assets=n_assets, B=1, iters_to_1e3=iters,
-        solve_s_to_1e3=round(solve_s, 3), certify_s=round(cert_s, 3),
-        gap=float(gap), feas_rel=float(feas),
+        m=m, n_assets=n_assets, B=1, equilibrated=True,
+        iters_to_1e3=(loose[0] if loose else None),
+        solve_s_to_1e3=(round(loose[1], 3) if loose else None),
+        iters_to_1e6=(tight[0] if tight else None),
+        solve_s_to_1e6=(round(tight[1], 3) if tight else None),
+        certify_s_total=round(cert_s, 3),
+        certify_s_per_pass=round(cert_s / max(1, iters // CHUNK), 3),
+        gap=float(cert.gap_rel), feas_rel=float(cert.feasibility_rel),
+        certified_1e6=bool(tight is not None),
+        refine_s=0.0, refine_iters=0,
     )
 
-    # ---- host f64 refine to 1e-6 -------------------------------------------
-    res32 = _result_from_state(solver, obj, z, nu, rho, psi, w_out, iters)
-    t0 = time.perf_counter()
-    ref = refine(compiled, obj, res32, target_gap=GAP_REFINE)
-    refine_s = time.perf_counter() - t0
-    row.update(
-        refine_s_to_1e6=round(refine_s, 3),
-        refine_iters=ref.iters,
-        refined_gap=float(ref.certificate.gap_rel),
-        certified_1e6=bool(ref.achieved),
-    )
-    _log(
-        f"m={m}: refine {refine_s:.2f}s ({ref.iters} f64 iters) -> "
-        f"gap {ref.certificate.gap_rel:.2e}"
-    )
+    if tight is None:
+        # ---- host f64 refine fallback (equilibrated problem, warm) ------
+        # everything in ORIGINAL units: w_out was un-scaled by _certify_orig;
+        # psi and prices map as psi*d and nu/d (solver/precondition.py)
+        res32 = RouteResult(
+            objective=jnp.asarray(float(cert.objective)),
+            psi=jnp.asarray(np.asarray(psi, np.float64) * eq.d),
+            prices=jnp.asarray(np.asarray(rho * nu, np.float64) / eq.d),
+            deltas={k: jnp.asarray(v[0]) for k, v in w_out.items()},
+            lambdas={k: jnp.asarray(v[1]) for k, v in w_out.items()},
+            iters=jnp.asarray(iters, jnp.int32),
+            r_norm=jnp.zeros((), jnp.float32),
+            s_norm=jnp.zeros((), jnp.float32),
+            converged=jnp.asarray(False), rho_final=rho,
+        )
+        t0 = time.perf_counter()
+        ref = refine(compiled_orig, obj, res32, target_gap=GAP_TIGHT)
+        refine_s = time.perf_counter() - t0
+        row.update(
+            refine_s=round(refine_s, 3), refine_iters=ref.iters,
+            gap=float(ref.certificate.gap_rel),
+            feas_rel=float(ref.certificate.feasibility_rel),
+            certified_1e6=bool(ref.achieved),
+        )
+        _log(
+            f"m={m}: refine {refine_s:.2f}s ({ref.iters} f64 iters) -> "
+            f"gap {ref.certificate.gap_rel:.2e}"
+        )
 
     rows = [row]
 
-    # ---- scenario batch: B sweeps as ONE vmapped device call ----------------
+    # ---- scenario batch: B objective scenarios as ONE vmapped call ----------
     if B > 1:
         rng = np.random.default_rng(3)
         scale = rng.uniform(0.8, 1.25, size=(B, 1))
-        cB = jnp.asarray(np.asarray(obj.c)[None, :] * scale, jnp.float32)
+        cB = jnp.asarray(np.asarray(eq.objective.c)[None, :] * scale, jnp.float32)
         loB = jnp.tile(lo[None, :], (B, 1))
         hiB = jnp.tile(hi[None, :], (B, 1))
+        budget = row["iters_to_1e6"] or row["iters_to_1e3"] or iters
         opts_b = AdmmOptions(
-            max_iters=max(iters, CHUNK), eps_abs=0.0, eps_rel=0.0,
+            max_iters=max(budget, CHUNK), eps_abs=0.0, eps_rel=0.0,
             adapt_rho=False,
         )
         solver_b = AdmmSolver(compiled, dtype=jnp.float32, options=opts_b)
@@ -192,22 +222,46 @@ def run_config(m, n_assets, B, fused):
         batch_s = time.perf_counter() - t0
         rows.append(
             dict(
-                m=m, n_assets=n_assets, B=B, iters=int(out.iters[0]),
+                m=m, n_assets=n_assets, B=B, kind="objectives",
+                iters=int(out.iters[0]),
                 batch_solve_s=round(batch_s, 3),
                 per_scenario_s=round(batch_s / B, 4),
                 objective_mean=float(jnp.mean(out.objective)),
             )
         )
-        _log(f"m={m} B={B}: {batch_s:.2f}s total, {batch_s/B:.3f}s/scenario")
+        _log(f"m={m} B={B} objectives: {batch_s:.2f}s, {batch_s/B:.4f}s/scenario")
+
+        # ---- BASELINE config 5: B per-pool reserve states -------------------
+        Br = min(B, 8) if m >= 100_000 else B
+        scale_r = rng.uniform(0.7, 1.3, size=(Br, compiled.n_pools))
+        out = solver_b.solve_batch_reserves(eq.objective, scale_r)
+        jax.block_until_ready(out.objective)
+        t0 = time.perf_counter()
+        out = solver_b.solve_batch_reserves(eq.objective, scale_r)
+        jax.block_until_ready(out.objective)
+        rbatch_s = time.perf_counter() - t0
+        rows.append(
+            dict(
+                m=m, n_assets=n_assets, B=Br, kind="reserve_states",
+                iters=int(out.iters[0]),
+                batch_solve_s=round(rbatch_s, 3),
+                per_scenario_s=round(rbatch_s / Br, 4),
+                objective_mean=float(jnp.mean(out.objective)),
+            )
+        )
+        _log(
+            f"m={m} B={Br} reserve states: {rbatch_s:.2f}s, "
+            f"{rbatch_s/Br:.4f}s/scenario"
+        )
     return rows
 
 
 def main():
     grid = [
         # (m, n_assets, B, fused)
-        (1_000, 64, 50, True),
+        (1_000, 64, 1024, True),
         (10_000, 64, 50, True),
-        (100_000, 256, 1, True),
+        (100_000, 256, 8, True),
     ]
     all_rows = []
     for m, n, B, fused in grid:
@@ -221,25 +275,41 @@ def main():
         print(json.dumps(row), flush=True)
 
     lines = [
-        "# Wall-clock-to-certified-gap grid (single v5e chip + host refine)",
+        "# Wall-clock-to-certified-gap grid (single v5e chip)",
         "",
-        "f32 on-device solve to certified gap<=1e-3 (rigorous dual bound,",
-        "relative box feasibility <=1e-3), then host f64 refine to 1e-6.",
+        "Equilibrated (per-asset power-of-two unit scaling,",
+        "`solver/precondition.py`) f32 fused-Pallas solve on one chip;",
+        "RIGOROUS f64 host certificate evaluated in ORIGINAL units between",
+        "250-iteration chunks (gap = dual bound valid for any prices;",
+        "feasibility relative to trade magnitudes — the ECOS-parity",
+        "criterion behind `/root/reference/arbitrage.py:82`).",
+        "Certification time excluded from the solve clock, reported per pass.",
         "",
-        "| pools | assets | B | iters | solve s (to 1e-3) | refine s (to 1e-6) | final gap |",
-        "|---|---|---|---|---|---|---|",
+        "| pools | assets | solve s to 1e-3 | solve s to **1e-6** | iters to 1e-6 | refine s | cert s/pass | final gap / feas |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in all_rows:
         if r.get("B", 1) == 1:
             lines.append(
-                f"| {r['m']} | {r['n_assets']} | 1 | {r['iters_to_1e3']} | "
-                f"{r['solve_s_to_1e3']} | {r.get('refine_s_to_1e6', '-')} | "
-                f"{r.get('refined_gap', r['gap']):.1e} |"
+                f"| {r['m']:,} | {r['n_assets']} | {r['solve_s_to_1e3']} | "
+                f"**{r['solve_s_to_1e6']}** | {r['iters_to_1e6']} | "
+                f"{r['refine_s']} | {r['certify_s_per_pass']} | "
+                f"{r['gap']:.1e} / {r['feas_rel']:.1e} |"
             )
-        else:
+    lines += [
+        "",
+        "Scenario batching — B scenarios as ONE vmapped device call",
+        "(objective scenarios replace the reference's serial 50-solve loop,",
+        "`two-asset.py:40`; reserve-state batches are BASELINE config 5):",
+        "",
+        "| pools | B | kind | iters | batch s | per-scenario s |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in all_rows:
+        if r.get("B", 1) > 1:
             lines.append(
-                f"| {r['m']} | {r['n_assets']} | {r['B']} | {r['iters']} | "
-                f"{r['batch_solve_s']} ({r['per_scenario_s']}/scenario) | - | - |"
+                f"| {r['m']:,} | {r['B']} | {r['kind']} | {r['iters']} | "
+                f"{r['batch_solve_s']} | **{r['per_scenario_s']}** |"
             )
     with open("BENCH_GRID.md", "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -53,6 +53,8 @@ class Sweep:
     net_trades: List[np.ndarray]  # per pool: (k, T) array of Lambda - Delta
     iters: np.ndarray
     converged: np.ndarray
+    prices: Optional[np.ndarray] = None  # (T, n) dual prices per grid point
+    certificates: Optional[List[object]] = None  # per-point Certificate
 
 
 def make_solver(
@@ -146,12 +148,19 @@ def sweep(
     receive: int,
     amounts: Sequence[float],
     solver: Optional[AdmmSolver] = None,
+    certify: bool = False,
     **solver_kwargs,
 ) -> Sweep:
     """Trade-size sweep: u(t) = max psi[receive] s.t. psi >= -t e_give.
 
     One batched vmapped solve over the whole grid — the TPU-native
     counterpart of the serial loop at ``two-asset.py:40-91``.
+
+    ``certify=True`` runs the rigorous f64 host certificate
+    (``solver/certify.py``) at EVERY grid point using that point's dual
+    prices from the one batched solve — the reference can only eyeball
+    the 50 printed objectives (``two-asset.py:96-100``); here each point
+    carries its own duality-gap bound.
     """
     solver = solver or make_solver(spec, **solver_kwargs)
     n = spec.n_assets
@@ -167,7 +176,6 @@ def sweep(
     res = solver.solve_batch(c, lo, hi)
 
     # per-pool net trades (k, T), reference's `all_values` (two-asset.py:93-94)
-    net = []
     dbat = {k: np.asarray(v) for k, v in res.deltas.items()}
     lbat = {k: np.asarray(v) for k, v in res.lambdas.items()}
     per_pool = [None] * solver.compiled.n_pools
@@ -178,10 +186,33 @@ def sweep(
             per_pool[pid] = (lbat[name][:, :k, r] - dbat[name][:, :k, r]).T
     net = per_pool
 
+    prices = np.asarray(res.prices)
+    certs = None
+    if certify:
+        from .solver.certify import certify as _certify
+
+        hi_inf = np.full(n, np.inf)
+        psi_b = np.asarray(res.psi)
+        certs = []
+        for t in range(T):
+            obj_t = Objective(c[t], lo=lo[t], hi=hi_inf)
+            certs.append(
+                _certify(
+                    solver.compiled,
+                    obj_t,
+                    {k: v[t] for k, v in dbat.items()},
+                    {k: v[t] for k, v in lbat.items()},
+                    prices[t],
+                    psi_claimed=psi_b[t],
+                )
+            )
+
     return Sweep(
         amounts=amounts,
         utilities=np.asarray(res.objective),
         net_trades=net,
         iters=np.asarray(res.iters),
         converged=np.asarray(res.converged),
+        prices=prices,
+        certificates=certs,
     )

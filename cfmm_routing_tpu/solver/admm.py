@@ -196,6 +196,7 @@ class AdmmSolver:
         self._consensus_prox = consensus_prox
         self._solve_jit = jax.jit(self._solve_impl)
         self._solve_fused_jit = None  # built lazily by solve_fused
+        self._batch_reserves_jit = None  # built lazily by solve_batch_reserves
         self._custom_cache = {}  # id(CustomUtility) -> (objective, jitted)
         self._solve_vmapped = jax.jit(
             jax.vmap(self._solve_impl, in_axes=(0, 0, 0, None))
@@ -830,13 +831,19 @@ class AdmmSolver:
             rho if rho is not None else self.options.rho, self.dtype
         )
         buckets, axes = self.batch_reserve_arrays(reserve_scale)
-        fn = jax.jit(
-            jax.vmap(
-                lambda bks: self._solve_impl(c, lo, hi, rho_v, buckets=bks),
-                in_axes=(axes,),
-            )
-        )
-        return fn(buckets)
+        if self._batch_reserves_jit is None:
+            # ONE persistent jitted program: (c, lo, hi, rho) are traced
+            # arguments so repeated scenario solves (same B and topology)
+            # hit the XLA cache instead of re-tracing a fresh closure
+            # per call
+            def _impl(bks, c_, lo_, hi_, rho_):
+                return jax.vmap(
+                    lambda b2: self._solve_impl(c_, lo_, hi_, rho_, buckets=b2),
+                    in_axes=(axes,),
+                )(bks)
+
+            self._batch_reserves_jit = jax.jit(_impl)
+        return self._batch_reserves_jit(buckets, c, lo, hi, rho_v)
 
     # ---- host-side unbucketing ---------------------------------------------
 

@@ -72,6 +72,7 @@ class Certificate:
     box_violation: float  # max_j distance of psi_hat from [lo, hi]
     psi_consistency: float  # max_j |psi_solver - psi_hat|
     prices: np.ndarray  # the repaired price vector the bound was evaluated at
+    psi_scale: float = 1.0  # max_j |psi_hat| — the natural feasibility scale
 
     @property
     def feasibility(self) -> float:
@@ -81,6 +82,13 @@ class Certificate:
             self.floor_violation,
             self.box_violation,
         )
+
+    @property
+    def feasibility_rel(self) -> float:
+        """Feasibility relative to the trade magnitudes (ECOS/SCS
+        convention): a 1e-2 absolute slack on a 1e4-sized psi is a 1e-6
+        relative violation."""
+        return self.feasibility / max(1.0, self.psi_scale)
 
     def summary(self) -> str:
         return (
@@ -541,4 +549,5 @@ def certify(
         box_violation=box_viol,
         psi_consistency=consistency,
         prices=nu,
+        psi_scale=float(np.max(np.abs(psi_hat), initial=0.0)),
     )

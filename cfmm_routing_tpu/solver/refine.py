@@ -85,7 +85,14 @@ def refine(
             cur = _to_host(result)
 
             def _hit(c):
-                return c.gap_rel <= target_gap and c.feasibility <= target_gap
+                # feasibility is judged RELATIVE to the trade magnitudes
+                # (ECOS/SCS convention; bench_grid.py uses the same
+                # criterion): a 1e-2 absolute slack on a 1e4-sized psi is
+                # a 1e-6 relative violation, not a 1e-2 one.
+                return (
+                    c.gap_rel <= target_gap
+                    and c.feasibility_rel <= target_gap
+                )
 
             # each polish is up to max_evals L-BFGS evaluations, each a full
             # O(m) bucket sweep with an 80-step bisection — at 100k pools

@@ -122,6 +122,37 @@ def test_sweep_api_batched():
     assert sw.net_trades[0].shape == (3, 11)
 
 
+def test_sweep_certified_and_per_pool_parity():
+    """certify=True: every grid point carries a rigorous duality-gap
+    certificate, and the per-pool net-trade curves match independent
+    pointwise oracle solves (the reference prints per-pool trades per
+    sweep iteration, ``two-asset.py:96-98``)."""
+    from cfmm_routing_tpu.oracle import oracle_solve
+
+    spec, _ = two_asset_instance(0.0)
+    amounts = np.array([0.0, 10.0, 25.0, 50.0])
+    sw = api.sweep(
+        spec, give=0, receive=2, amounts=amounts,
+        dtype=jnp.float64, options=OPTS, certify=True,
+    )
+    assert sw.certificates is not None and len(sw.certificates) == 4
+    for cert in sw.certificates:
+        assert cert.gap_rel < 1e-6
+        assert cert.feasibility_rel < 1e-7
+    assert sw.prices.shape == (4, 3)
+
+    # per-pool net trades vs oracle at each t (dual-degenerate points can
+    # differ per pool; compare the per-asset net flows, which are unique)
+    for ti, t in enumerate(amounts):
+        spec_t, obj_t = two_asset_instance(float(t))
+        ref = oracle_solve(spec_t, obj_t)
+        psi_t = np.zeros(3)
+        for pid, pool in enumerate(spec.pools):
+            for j, a in enumerate(pool.assets):
+                psi_t[a] += sw.net_trades[pid][j, ti]
+        np.testing.assert_allclose(psi_t, ref.psi, atol=2e-5)
+
+
 def test_api_arbitrage_and_liquidate():
     spec, _ = arbitrage_instance()
     route = api.arbitrage(
