@@ -789,8 +789,11 @@ class AdmmSolver:
             )
         out = {}
         axes = {}
+        B = scale.shape[0]
         for name, b in self.compiled.buckets.items():
-            sc = scale[:, b.pool_ids]  # (B, m)
+            # (B, m): padding rows (inert pools) scale by 1
+            sc = np.ones((B, b.m))
+            sc[:, : len(b.pool_ids)] = scale[:, b.pool_ids]
             Rb = b.reserves[None] * sc[:, :, None]  # (B, m, K)
             if b.kind == "gm":
                 y = np.where(b.mask[None] > 0, Rb + b.shift[None], 1.0)

@@ -96,3 +96,27 @@ def test_batched_reserve_scenarios_match_serial():
             float(out.objective[b]), float(res_b.objective), rtol=1e-6,
             err_msg=f"scenario {b}",
         )
+
+
+def test_batched_reserve_scenarios_padded_buckets():
+    """Regression: pad_pools_to > 1 leaves padding rows in every bucket;
+    reserve_scale only covers REAL pools and padding rows must scale by 1
+    (this crashed with a broadcast error before the fix)."""
+    from cfmm_routing_tpu.models.reference_instances import arbitrage_instance
+    from cfmm_routing_tpu.solver.admm import AdmmOptions, AdmmSolver
+    from cfmm_routing_tpu.solver.compiler import compile_spec
+
+    spec, obj = arbitrage_instance()
+    opts = AdmmOptions(max_iters=30000, eps_abs=1e-9, eps_rel=1e-9)
+    plain = AdmmSolver(compile_spec(spec), dtype=jnp.float64, options=opts)
+    padded = AdmmSolver(
+        compile_spec(spec, pad_pools_to=8), dtype=jnp.float64, options=opts
+    )
+    rng = np.random.default_rng(11)
+    scale = rng.uniform(0.8, 1.3, size=(3, len(spec.pools)))
+    out_plain = plain.solve_batch_reserves(obj, scale)
+    out_padded = padded.solve_batch_reserves(obj, scale)
+    np.testing.assert_allclose(
+        np.asarray(out_padded.objective), np.asarray(out_plain.objective),
+        rtol=1e-8,
+    )

@@ -241,6 +241,24 @@ def test_sharded_concave_utility_matches_single_device():
     )
 
 
+def test_fused_sharded_concave_utility():
+    """solve_fused with a ConcaveUtility objective under shard_map matches
+    the single-device fused solve."""
+    from cfmm_routing_tpu.models.utility import ConcaveUtility
+
+    k = 8
+    sharded, obj, opts = _fused_setup(2, k)
+    util = ConcaveUtility.linear(obj.c, lo=np.asarray(obj.lo))
+    util = util.with_log(1, float(obj.c[1]), 3.0).with_box(1, 0.0, 40.0)
+    res_s = sharded.solve_fused(util, iters=k, interpret=True)
+
+    single = AdmmSolver(sharded.compiled, dtype=jnp.float32, options=opts)
+    res_1 = single.solve_fused(util, iters=k, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(res_s.psi), np.asarray(res_1.psi), atol=2e-4
+    )
+
+
 def test_sharded_custom_utility_raises():
     from cfmm_routing_tpu.models.utility import CustomUtility
 
