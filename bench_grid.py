@@ -163,6 +163,7 @@ def run_config(m, n_assets, B, fused):
         solve_s_to_1e3=(round(loose[1], 3) if loose else None),
         iters_to_1e6=(tight[0] if tight else None),
         solve_s_to_1e6=(round(tight[1], 3) if tight else None),
+        device_iters=iters, device_solve_s=round(solve_s, 3),
         certify_s_total=round(cert_s, 3),
         certify_s_per_pass=round(cert_s / max(1, iters // CHUNK), 3),
         gap=float(cert.gap_rel), feas_rel=float(cert.feasibility_rel),
@@ -282,18 +283,34 @@ def main():
         "RIGOROUS f64 host certificate evaluated in ORIGINAL units between",
         "250-iteration chunks (gap = dual bound valid for any prices;",
         "feasibility relative to trade magnitudes — the ECOS-parity",
-        "criterion behind `/root/reference/arbitrage.py:82`).",
+        "criterion behind `/root/reference/arbitrage.py:82`).  A slightly",
+        "NEGATIVE gap is normal at convergence: the 1e-8-level primal",
+        "infeasibility inflates the candidate's value just past the dual",
+        "bound; the (gap, feasibility) PAIR is the certificate, exactly as",
+        "in SCS/OSQP-style termination.",
         "Certification time excluded from the solve clock, reported per pass.",
         "",
-        "| pools | assets | solve s to 1e-3 | solve s to **1e-6** | iters to 1e-6 | refine s | cert s/pass | final gap / feas |",
+        "When the f32 device solve bottoms out above 1e-6 (its dtype noise",
+        "floor, seen at the smaller sizes), the warm-started host f64",
+        "`refine` stage finishes the certification; 'total s to 1e-6' is",
+        "then device solve + refine.",
+        "",
+        "| pools | assets | solve s to 1e-3 | **total s to 1e-6** | on-device to 1e-6? | refine s (f64 iters) | cert s/pass | final gap / feas |",
         "|---|---|---|---|---|---|---|---|",
     ]
     for r in all_rows:
         if r.get("B", 1) == 1:
+            if r["solve_s_to_1e6"] is not None:
+                total = r["solve_s_to_1e6"]
+                ondev = f"yes ({r['iters_to_1e6']} iters)"
+            else:
+                total = round(r["device_solve_s"] + r["refine_s"], 3)
+                ondev = f"no (floor at {r['device_iters']} iters)"
             lines.append(
                 f"| {r['m']:,} | {r['n_assets']} | {r['solve_s_to_1e3']} | "
-                f"**{r['solve_s_to_1e6']}** | {r['iters_to_1e6']} | "
-                f"{r['refine_s']} | {r['certify_s_per_pass']} | "
+                f"**{total}** | {ondev} | "
+                f"{r['refine_s']} ({r['refine_iters']}) | "
+                f"{r['certify_s_per_pass']} | "
                 f"{r['gap']:.1e} / {r['feas_rel']:.1e} |"
             )
     lines += [
