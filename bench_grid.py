@@ -43,6 +43,7 @@ import numpy as np
 CHUNK = 250
 MAX_ITERS = 12_000
 GAP_LOOSE = 1e-3
+GAP_MID = 1e-5  # the f32 device floor at 100k is ~1e-5 (symmetric |gap|)
 GAP_TIGHT = 1e-6
 
 
@@ -112,6 +113,7 @@ def run_config(m, n_assets, B, fused):
     cert_s = 0.0
     iters = 0
     loose = None  # (iters, solve_s) at first certified 1e-3
+    mid = None  # at first certified 1e-5
     tight = None  # at first certified 1e-6
     best_gap = float("inf")
     since_best = 0
@@ -142,10 +144,14 @@ def run_config(m, n_assets, B, fused):
             f"m={m} it={iters}: r={r:.2e} s={s:.2e} gap={gap:.2e} "
             f"feas_rel={feas:.2e} solve={solve_s:.2f}s cert_pass={cert_pass:.2f}s"
         )
-        score = max(gap, feas)
-        if loose is None and gap <= GAP_LOOSE and feas <= GAP_LOOSE:
+        # SYMMETRIC gap criterion: |gap| bounds the value overshoot a
+        # residually-infeasible primal can carry past the dual bound
+        score = max(abs(gap), feas)
+        if loose is None and score <= GAP_LOOSE:
             loose = (iters, solve_s)
-        if gap <= GAP_TIGHT and feas <= GAP_TIGHT:
+        if mid is None and score <= GAP_MID:
+            mid = (iters, solve_s)
+        if score <= GAP_TIGHT:
             tight = (iters, solve_s)
             break
         if score < 0.7 * best_gap:
@@ -161,6 +167,8 @@ def run_config(m, n_assets, B, fused):
         m=m, n_assets=n_assets, B=1, equilibrated=True,
         iters_to_1e3=(loose[0] if loose else None),
         solve_s_to_1e3=(round(loose[1], 3) if loose else None),
+        iters_to_1e5=(mid[0] if mid else None),
+        solve_s_to_1e5=(round(mid[1], 3) if mid else None),
         iters_to_1e6=(tight[0] if tight else None),
         solve_s_to_1e6=(round(tight[1], 3) if tight else None),
         device_iters=iters, device_solve_s=round(solve_s, 3),
@@ -283,32 +291,34 @@ def main():
         "RIGOROUS f64 host certificate evaluated in ORIGINAL units between",
         "250-iteration chunks (gap = dual bound valid for any prices;",
         "feasibility relative to trade magnitudes — the ECOS-parity",
-        "criterion behind `/root/reference/arbitrage.py:82`).  A slightly",
-        "NEGATIVE gap is normal at convergence: the 1e-8-level primal",
-        "infeasibility inflates the candidate's value just past the dual",
-        "bound; the (gap, feasibility) PAIR is the certificate, exactly as",
-        "in SCS/OSQP-style termination.",
+        "criterion behind `/root/reference/arbitrage.py:82`).  The gap",
+        "criterion is SYMMETRIC (|gap| <= eps): a negative gap means the",
+        "residual infeasibility inflated the candidate's value past the",
+        "dual bound, and |gap| bounds that overshoot — so the certified",
+        "value matches the true optimum to eps from BOTH sides.",
         "Certification time excluded from the solve clock, reported per pass.",
         "",
-        "When the f32 device solve bottoms out above 1e-6 (its dtype noise",
-        "floor, seen at the smaller sizes), the warm-started host f64",
-        "`refine` stage finishes the certification; 'total s to 1e-6' is",
-        "then device solve + refine.",
+        "The f32 device solve bottoms out at its dtype floor (~1e-5",
+        "relative at these sizes — trades stored in f32 cannot pin the",
+        "objective tighter); the warm-started host f64 `refine` stage then",
+        "finishes the 1e-6 certification.  'total s to 1e-6' = device",
+        "solve + refine.",
         "",
-        "| pools | assets | solve s to 1e-3 | **total s to 1e-6** | on-device to 1e-6? | refine s (f64 iters) | cert s/pass | final gap / feas |",
+        "| pools | assets | solve s to 1e-3 | solve s to 1e-5 | **total s to 1e-6** | refine s (f64 iters) | cert s/pass | final gap / feas |",
         "|---|---|---|---|---|---|---|---|",
     ]
     for r in all_rows:
         if r.get("B", 1) == 1:
             if r["solve_s_to_1e6"] is not None:
-                total = r["solve_s_to_1e6"]
-                ondev = f"yes ({r['iters_to_1e6']} iters)"
+                total = f"{r['solve_s_to_1e6']} (on-device)"
             else:
-                total = round(r["device_solve_s"] + r["refine_s"], 3)
-                ondev = f"no (floor at {r['device_iters']} iters)"
+                total = str(round(r["device_solve_s"] + r["refine_s"], 3))
+            mid_s = (
+                r["solve_s_to_1e5"] if r["solve_s_to_1e5"] is not None else "-"
+            )
             lines.append(
                 f"| {r['m']:,} | {r['n_assets']} | {r['solve_s_to_1e3']} | "
-                f"**{total}** | {ondev} | "
+                f"{mid_s} | **{total}** | "
                 f"{r['refine_s']} ({r['refine_iters']}) | "
                 f"{r['certify_s_per_pass']} | "
                 f"{r['gap']:.1e} / {r['feas_rel']:.1e} |"

@@ -553,8 +553,16 @@ class AdmmSolver:
     # ---- full solve ---------------------------------------------------------
 
     def _solve_impl(self, c, lo, hi, rho0, z0=None, nu0=None, util=None,
-                    buckets=None, custom=None):
+                    buckets=None, custom=None, max_iters=None):
+        """``max_iters`` optionally overrides options.max_iters as a TRACED
+        scalar — callers that grow their iteration budget across calls
+        (solver/refine.py's chunk schedule) reuse one compiled program."""
         opts = self.options
+        iter_budget = (
+            jnp.asarray(opts.max_iters, jnp.int32)
+            if max_iters is None
+            else max_iters
+        )
         buckets = self.buckets if buckets is None else buckets
         n_edges = sum(
             2 * int(np.prod(b["mask"].shape)) for b in buckets.values()
@@ -585,7 +593,7 @@ class AdmmSolver:
         def cond(state):
             k, _, _, rho, r, s, eps_pri, eps_dua, _, _ = state
             return jnp.logical_and(
-                k < opts.max_iters,
+                k < iter_budget,
                 jnp.logical_or(r > eps_pri, s > eps_dua),
             )
 
@@ -706,13 +714,20 @@ class AdmmSolver:
         objective,
         rho: Optional[float] = None,
         warm: Optional[RouteResult] = None,
+        max_iters: Optional[int] = None,
     ) -> RouteResult:
         """Solve for an :class:`Objective` (linear), a separable
         :class:`~cfmm_routing_tpu.models.utility.ConcaveUtility`, or a
         non-separable
-        :class:`~cfmm_routing_tpu.models.utility.CustomUtility`."""
+        :class:`~cfmm_routing_tpu.models.utility.CustomUtility`.
+
+        ``max_iters`` overrides ``options.max_iters`` for THIS call as a
+        traced scalar (no recompile across different budgets)."""
         from ..models.utility import ConcaveUtility, CustomUtility
 
+        mi = (
+            None if max_iters is None else jnp.asarray(max_iters, jnp.int32)
+        )
         if rho is not None:
             rho_v = rho
         elif warm is not None:
@@ -744,7 +759,7 @@ class AdmmSolver:
             z0 = nu0 = None
             if warm is not None:
                 z0, nu0 = self.warm_state(warm, rho_v)
-            return ent[1](c, lo, hi, rho_v, z0, nu0)
+            return ent[1](c, lo, hi, rho_v, z0, nu0, max_iters=mi)
         util = None
         if isinstance(objective, ConcaveUtility):
             util = objective.pack(self.dtype)
@@ -760,7 +775,7 @@ class AdmmSolver:
         z0 = nu0 = None
         if warm is not None:
             z0, nu0 = self.warm_state(warm, rho_v)
-        return self._solve_jit(c, lo, hi, rho_v, z0, nu0, util)
+        return self._solve_jit(c, lo, hi, rho_v, z0, nu0, util, max_iters=mi)
 
     def solve_batch(self, c, lo, hi, rho: Optional[float] = None) -> RouteResult:
         """vmapped solve over leading batch axis of (c, lo, hi)."""

@@ -50,11 +50,16 @@ class RefineResult:
 # iterate, so later stages only run if the certificate is still loose
 _EPS_SCHEDULE = (1e-9, 1e-11, 5e-13)
 
-# certify every CHUNK f64 iterations and stop at the first certified hit:
-# solving the residual schedule to completion routinely lands 1e-9 gaps
-# when 1e-6 was requested — measured 5060 polish iterations at 10k pools
-# where ~2000 already certified (the chunked loop cut refine 2-3x there)
-_CHUNK = 500
+# certify every chunk of f64 iterations and stop at the first certified
+# hit: solving the residual schedule to completion routinely lands 1e-9
+# gaps when 1e-6 was requested — measured 5060 polish iterations at 10k
+# pools where ~2000 already certified (the chunked loop cut refine 2-3x
+# there).  The chunk grows geometrically from _CHUNK0 to _CHUNK_MAX: an
+# equilibrated f32 iterate usually needs only O(100) f64 iterations, and
+# a fixed 500-iteration first chunk wasted most of the refine wall-clock
+# at the sizes whose f32 solve floors just above 1e-6 (1k/10k pools).
+_CHUNK0 = 125
+_CHUNK_MAX = 1000
 
 
 def _to_host(res: RouteResult) -> RouteResult:
@@ -88,9 +93,14 @@ def refine(
                 # feasibility is judged RELATIVE to the trade magnitudes
                 # (ECOS/SCS convention; bench_grid.py uses the same
                 # criterion): a 1e-2 absolute slack on a 1e4-sized psi is
-                # a 1e-6 relative violation, not a 1e-2 one.
+                # a 1e-6 relative violation, not a 1e-2 one.  The gap is
+                # SYMMETRIC: a negative gap means the residual
+                # infeasibility inflated the primal value past the dual
+                # bound — |gap| bounds that overshoot, so the certified
+                # value matches the true optimum to target_gap from BOTH
+                # sides (the reference-parity pins rely on this).
                 return (
-                    c.gap_rel <= target_gap
+                    abs(c.gap_rel) <= target_gap
                     and c.feasibility_rel <= target_gap
                 )
 
@@ -119,6 +129,13 @@ def refine(
                     psi_claimed=point.psi,
                 )
                 if _hit(cert):
+                    return cert
+                if cert.gap_abs <= 0:
+                    # a NEGATIVE gap is primal-side error (the residually
+                    # infeasible point overshoots the dual bound); price
+                    # polishing can only LOWER the dual bound and can
+                    # never shrink |gap| here — skip the L-BFGS pass
+                    # (measured ~50 s wasted per refine at 100k pools)
                     return cert
                 try:
                     nu_p = polish_prices(
@@ -149,6 +166,7 @@ def refine(
 
             total = 0
             stage = 0
+            chunk = _CHUNK0
             solver = None
             while total < int(max_iters):
                 if solver is None:
@@ -156,12 +174,14 @@ def refine(
                         base,
                         eps_abs=_EPS_SCHEDULE[stage],
                         eps_rel=_EPS_SCHEDULE[stage],
-                        max_iters=_CHUNK,
+                        max_iters=_CHUNK_MAX,
                     )
                     solver = AdmmSolver(
                         compiled, dtype=jnp.float64, options=opts
                     )
-                res = solver.solve(objective, warm=cur)
+                # the budget is a TRACED scalar: growing it across calls
+                # reuses the one compiled f64 program (admm.solve max_iters)
+                res = solver.solve(objective, warm=cur, max_iters=chunk)
                 took = int(res.iters)
                 total += took
                 cur = _to_host(res)
@@ -170,13 +190,15 @@ def refine(
                     return RefineResult(
                         result=cur, certificate=cert, iters=total, achieved=True
                     )
-                if took < _CHUNK:
+                if took < chunk:
                     # residual-converged at this eps but the certificate is
                     # still loose: tighten, or give up when schedule exhausted
                     stage += 1
                     if stage >= len(_EPS_SCHEDULE):
                         break
                     solver = None
+                elif chunk < _CHUNK_MAX:
+                    chunk = min(2 * chunk, _CHUNK_MAX)
             return RefineResult(
                 result=cur, certificate=cert, iters=total, achieved=False
             )

@@ -44,7 +44,9 @@ def test_refine_certifies_reference_instances(instance, pin, get):
     out = refine(compiled, obj, res32, target_gap=1e-6)
     assert out.achieved, out.certificate.summary()
     assert out.certificate.gap_rel <= 1e-6
-    assert out.certificate.feasibility <= 1e-6
+    # feasibility is certified RELATIVE to trade magnitudes (the ECOS/SCS
+    # convention refine stops on; Certificate.feasibility_rel)
+    assert out.certificate.feasibility_rel <= 1e-6
     # the certified value matches the reference's pinned optimum
     np.testing.assert_allclose(get(out.result), pin, rtol=2e-6)
     # prices and trades are host numpy, safe to use after the x64 restore
