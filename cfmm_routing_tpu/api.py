@@ -19,9 +19,11 @@ from typing import List, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from .models.utility import ConcaveUtility, Objective
 from .solver.admm import AdmmOptions, AdmmSolver
-from .solver.compiler import ProblemSpec, compile_spec
+from .solver.compiler import PoolTable, ProblemSpec, compile_spec, compile_table
 
 __all__ = [
     "Route", "Sweep", "arbitrage", "liquidate", "sweep", "route", "make_solver",
@@ -66,14 +68,15 @@ def make_solver(
     return AdmmSolver(compiled, dtype=dtype, options=options or AdmmOptions())
 
 
-def _route_from(solver: AdmmSolver, res, obj: Objective, do_certify: bool) -> Route:
+def _route_from(solver: AdmmSolver, res, obj: Objective, do_certify: bool,
+                cert_compiled=None) -> Route:
     deltas, lambdas = solver.unbucket(res)
     cert = None
     if do_certify:
         from .solver.certify import certify as _certify
 
         cert = _certify(
-            solver.compiled,
+            cert_compiled if cert_compiled is not None else solver.compiled,
             obj,
             {k: np.asarray(v) for k, v in res.deltas.items()},
             {k: np.asarray(v) for k, v in res.lambdas.items()},
@@ -94,16 +97,52 @@ def _route_from(solver: AdmmSolver, res, obj: Objective, do_certify: bool) -> Ro
     )
 
 
+def _solve_preconditioned(spec, objective, certify, solver_kwargs):
+    """Equilibrated solve in scaled units, results in ORIGINAL units.
+
+    Per-asset power-of-two unit rescaling (``solver/precondition.py``)
+    before the solve, exact un-scaling after; the optional certificate is
+    evaluated against the ORIGINAL problem.  The reference has no
+    analogue — ECOS's interior-point scaling plays this role behind
+    ``/root/reference/arbitrage.py:82``.
+    """
+    from .solver.precondition import equilibrate, unscale_result
+
+    table = PoolTable.from_spec(spec)
+    eq = equilibrate(table, objective)
+    compiled_eq = compile_table(eq.table, spec=spec)
+    solver = make_solver_compiled(compiled_eq, **solver_kwargs)
+    res = solver.solve(eq.objective)
+    res_host = jax.tree_util.tree_map(np.asarray, res)
+    res0 = unscale_result(res_host, eq.d, compiled_eq)
+    # re-evaluate the objective in original units (for log atoms the
+    # scaled value differs by an additive constant)
+    if isinstance(objective, ConcaveUtility):
+        obj_val = objective.value(res0.psi)
+    else:
+        obj_val = float(np.asarray(objective.c) @ np.asarray(res0.psi))
+    res0 = res0._replace(objective=np.float64(obj_val))
+    cert_compiled = compile_table(table, spec=spec) if certify else None
+    return _route_from(solver, res0, objective, certify, cert_compiled)
+
+
+def make_solver_compiled(compiled, dtype=jnp.float32, options=None) -> AdmmSolver:
+    return AdmmSolver(compiled, dtype=dtype, options=options or AdmmOptions())
+
+
 def arbitrage(
     spec: ProblemSpec,
     market_values: Sequence[float],
     solver: Optional[AdmmSolver] = None,
     certify: bool = False,
+    precondition: bool = False,
     **solver_kwargs,
 ) -> Route:
     """max market_value @ psi s.t. psi >= 0 (``arbitrage.py:57,77``)."""
-    solver = solver or make_solver(spec, **solver_kwargs)
     obj = Objective.arbitrage(market_values)
+    if precondition:
+        return _solve_preconditioned(spec, obj, certify, solver_kwargs)
+    solver = solver or make_solver(spec, **solver_kwargs)
     return _route_from(solver, solver.solve(obj), obj, certify)
 
 
@@ -113,12 +152,15 @@ def liquidate(
     numeraire: int,
     solver: Optional[AdmmSolver] = None,
     certify: bool = False,
+    precondition: bool = False,
     **solver_kwargs,
 ) -> Route:
     """Liquidate `holdings` entirely into asset `numeraire`
     (``liquidation.py:57,77-80``)."""
-    solver = solver or make_solver(spec, **solver_kwargs)
     obj = Objective.liquidation(spec.n_assets, numeraire, holdings)
+    if precondition:
+        return _solve_preconditioned(spec, obj, certify, solver_kwargs)
+    solver = solver or make_solver(spec, **solver_kwargs)
     return _route_from(solver, solver.solve(obj), obj, certify)
 
 
@@ -127,6 +169,7 @@ def route(
     objective,
     solver: Optional[AdmmSolver] = None,
     certify: bool = False,
+    precondition: bool = False,
     **solver_kwargs,
 ) -> Route:
     """Generic routing: maximize any :class:`Objective` (linear + box) or
@@ -135,10 +178,17 @@ def route(
     This is the superset entry point — the reference's cvxpy layer accepts
     arbitrary concave utilities (SURVEY.md §0) even though its scripts only
     exercise linear ones; ``route`` exposes the same generality here.
+
+    ``precondition=True`` solves in equilibrated per-asset units
+    (``solver/precondition.py``) and returns results (and the optional
+    certificate) in the ORIGINAL units — use it for production networks
+    whose tokens live in mismatched base units.
     """
-    solver = solver or make_solver(spec, **solver_kwargs)
     if not isinstance(objective, (Objective, ConcaveUtility)):
         raise TypeError("objective must be an Objective or ConcaveUtility")
+    if precondition:
+        return _solve_preconditioned(spec, objective, certify, solver_kwargs)
+    solver = solver or make_solver(spec, **solver_kwargs)
     return _route_from(solver, solver.solve(objective), objective, certify)
 
 

@@ -175,6 +175,12 @@ def refine(
                         eps_abs=_EPS_SCHEDULE[stage],
                         eps_rel=_EPS_SCHEDULE[stage],
                         max_iters=_CHUNK_MAX,
+                        # the one-hot/radix consensus modes are TPU layouts
+                        # (dense MXU contractions, E*n flops per exchange);
+                        # on the CPU backend the gather/scatter path is
+                        # memory-bound and ~an order of magnitude cheaper
+                        # at 100k pools
+                        consensus="scatter",
                     )
                     solver = AdmmSolver(
                         compiled, dtype=jnp.float64, options=opts

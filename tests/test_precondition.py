@@ -121,6 +121,40 @@ def test_equilibration_cuts_iterations_on_skewed_network():
     )
 
 
+def test_api_precondition_matches_pin():
+    """api.arbitrage(precondition=True): solve in scaled units, results
+    and certificate in original units, matching the reference pin."""
+    from cfmm_routing_tpu import api
+    from cfmm_routing_tpu.models.reference_instances import arbitrage_instance
+
+    spec, obj = arbitrage_instance()
+    route = api.arbitrage(
+        spec, obj.c, certify=True, precondition=True,
+        dtype=jnp.float64, options=OPTS,
+    )
+    assert route.converged
+    assert abs(route.objective - 21.499805) / 21.499805 < 1e-6
+    assert route.certificate.gap_rel < 1e-6
+    assert route.certificate.feasibility_rel < 1e-7
+    assert len(route.deltas) == 5
+
+
+def test_api_precondition_concave_utility():
+    from cfmm_routing_tpu import api
+    from cfmm_routing_tpu.models.reference_instances import arbitrage_instance
+    from cfmm_routing_tpu.models.utility import ConcaveUtility
+
+    spec, obj = arbitrage_instance()
+    util = ConcaveUtility.linear(obj.c, lo=np.zeros(4))
+    util = util.with_log(1, float(obj.c[1]), 2.0).with_box(1, 0.0, 30.0)
+    plain = api.route(spec, util, dtype=jnp.float64, options=OPTS)
+    pre = api.route(
+        spec, util, precondition=True, dtype=jnp.float64, options=OPTS
+    )
+    np.testing.assert_allclose(pre.objective, plain.objective, rtol=1e-6)
+    np.testing.assert_allclose(pre.psi, plain.psi, atol=1e-6)
+
+
 def test_asset_scales_power_of_two():
     table, obj = random_arbitrage_table(12, 50, seed=1)
     for mode in ("reserves", "prices", "blend"):
