@@ -28,6 +28,15 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# the host f64 refine stage shards over virtual CPU devices (SPMD across
+# cores); the flag must be set before jax initializes. The TPU backend is
+# unaffected.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
 import jax
 
 jax.config.update(
@@ -195,7 +204,9 @@ def run_config(m, n_assets, B, fused):
             converged=jnp.asarray(False), rho_final=rho,
         )
         t0 = time.perf_counter()
-        ref = refine(compiled_orig, obj, res32, target_gap=GAP_TIGHT)
+        ref = refine(
+            compiled_orig, obj, res32, target_gap=GAP_TIGHT, cpu_shards=8
+        )
         refine_s = time.perf_counter() - t0
         row.update(
             refine_s=round(refine_s, 3), refine_iters=ref.iters,

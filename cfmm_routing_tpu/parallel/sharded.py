@@ -52,23 +52,38 @@ class ShardedAdmmSolver:
 
     def __init__(
         self,
-        spec: ProblemSpec,
+        spec,
         mesh: Mesh,
         dtype=jnp.float32,
         options: AdmmOptions = AdmmOptions(),
         shard_assets: bool = False,
         pad_pools_to: Optional[int] = None,
     ):
+        """``spec`` is a :class:`ProblemSpec` (compiled here with
+        ``pad_pools_to``) or an already-:class:`CompiledProblem` whose
+        bucket pool counts must divide the pool-mesh extent (the host
+        refine path shares one compiled problem between a single-device
+        TPU solver and a CPU-mesh sharded polish)."""
         self.mesh = mesh
         self.n_shards = mesh.shape["pools"]
         self.batch_axis = "batch" if "batch" in mesh.axis_names else None
-        pad = self.n_shards if pad_pools_to is None else int(pad_pools_to)
-        if pad % self.n_shards != 0:
-            raise ValueError(
-                f"pad_pools_to={pad} must be a multiple of the pool-mesh "
-                f"extent {self.n_shards}"
-            )
-        compiled = compile_spec(spec, pad_pools_to=pad)
+        if isinstance(spec, CompiledProblem):
+            compiled = spec
+            for name, b in compiled.buckets.items():
+                if b.m % self.n_shards != 0:
+                    raise ValueError(
+                        f"bucket {name!r}: {b.m} pools do not divide the "
+                        f"pool-mesh extent {self.n_shards} — recompile with "
+                        f"pad_pools_to={self.n_shards}"
+                    )
+        else:
+            pad = self.n_shards if pad_pools_to is None else int(pad_pools_to)
+            if pad % self.n_shards != 0:
+                raise ValueError(
+                    f"pad_pools_to={pad} must be a multiple of the pool-mesh "
+                    f"extent {self.n_shards}"
+                )
+            compiled = compile_spec(spec, pad_pools_to=pad)
         self.compiled = compiled
         consensus_prox = (
             self._make_asset_sharded_prox(compiled, jnp.dtype(dtype))
@@ -126,24 +141,45 @@ class ShardedAdmmSolver:
             )
         )
 
-    def _get_solve_prog(self, has_util: bool):
-        key = ("solve", has_util)
+    def _get_solve_prog(self, has_util: bool, has_warm: bool = False):
+        key = ("solve", has_util, has_warm)
         prog = self._progs.get(key)
         if prog is None:
-            if has_util:
-                def _sharded_solve(buckets, c, lo, hi, rho, util):
+            base = (self._bucket_specs, P(), P(), P(), P(), P())
+
+            if has_util and has_warm:
+                def _sharded_solve(buckets, c, lo, hi, rho, mi, z0, nu0, util):
                     return self.inner._solve_impl(
-                        c, lo, hi, rho, util=util, buckets=buckets
+                        c, lo, hi, rho, z0=z0, nu0=nu0, util=util,
+                        buckets=buckets, max_iters=mi,
                     )
 
-                in_specs = (self._bucket_specs, P(), P(), P(), P(), P())
+                in_specs = base + (self._z_specs, P(), P())
+            elif has_util:
+                def _sharded_solve(buckets, c, lo, hi, rho, mi, util):
+                    return self.inner._solve_impl(
+                        c, lo, hi, rho, util=util, buckets=buckets,
+                        max_iters=mi,
+                    )
+
+                in_specs = base + (P(),)
+            elif has_warm:
+                def _sharded_solve(buckets, c, lo, hi, rho, mi, z0, nu0):
+                    return self.inner._solve_impl(
+                        c, lo, hi, rho, z0=z0, nu0=nu0, buckets=buckets,
+                        max_iters=mi,
+                    )
+
+                in_specs = base + (self._z_specs, P())
             else:
-                def _sharded_solve(buckets, c, lo, hi, rho):
+                def _sharded_solve(buckets, c, lo, hi, rho, mi):
                     # each device's LOCAL bucket shards enter the solve as
                     # traced arguments (no Python-side state swapping)
-                    return self.inner._solve_impl(c, lo, hi, rho, buckets=buckets)
+                    return self.inner._solve_impl(
+                        c, lo, hi, rho, buckets=buckets, max_iters=mi
+                    )
 
-                in_specs = (self._bucket_specs, P(), P(), P(), P())
+                in_specs = base
             prog = self._shard(_sharded_solve, in_specs, self._result_specs)
             self._progs[key] = prog
         return prog
@@ -393,18 +429,37 @@ class ShardedAdmmSolver:
 
     # ---- public solves -------------------------------------------------------
 
-    def solve(self, objective, rho: Optional[float] = None) -> RouteResult:
+    def solve(
+        self,
+        objective,
+        rho: Optional[float] = None,
+        warm: Optional[RouteResult] = None,
+        max_iters: Optional[int] = None,
+    ) -> RouteResult:
         """Sharded solve for a linear :class:`Objective` or a separable
         :class:`ConcaveUtility` (same surface as ``AdmmSolver.solve``
-        minus CustomUtility)."""
+        minus CustomUtility).  ``warm`` seeds (z0, nu0) from a prior
+        solve; ``max_iters`` is a traced per-call budget."""
         c, lo, hi, util = self._pack(objective)
-        rho_v = jnp.asarray(
-            rho if rho is not None else self.inner.options.rho, self.dtype
+        if rho is not None:
+            rho_f = rho
+        elif warm is not None:
+            rho_f = float(np.asarray(warm.rho_final))
+        else:
+            rho_f = self.inner.options.rho
+        rho_v = jnp.asarray(rho_f, self.dtype)
+        mi = jnp.asarray(
+            self.inner.options.max_iters if max_iters is None else max_iters,
+            jnp.int32,
         )
-        prog = self._get_solve_prog(util is not None)
-        if util is None:
-            return prog(self.buckets_device, c, lo, hi, rho_v)
-        return prog(self.buckets_device, c, lo, hi, rho_v, util)
+        prog = self._get_solve_prog(util is not None, warm is not None)
+        args = (self.buckets_device, c, lo, hi, rho_v, mi)
+        if warm is not None:
+            z0, nu0 = self.inner.warm_state(warm, rho_f)
+            args = args + (z0, nu0)
+        if util is not None:
+            args = args + (util,)
+        return prog(*args)
 
     def solve_fused(
         self,

@@ -66,6 +66,25 @@ def _to_host(res: RouteResult) -> RouteResult:
     return jax.tree_util.tree_map(np.asarray, res)
 
 
+def _make_solver(compiled, opts, cpu_shards):
+    """f64 polish solver: CPU-mesh sharded when requested and possible."""
+    if cpu_shards and int(cpu_shards) > 1:
+        try:
+            from ..parallel.mesh import pool_mesh
+            from ..parallel.sharded import ShardedAdmmSolver
+
+            devices = jax.devices("cpu")
+            n = int(cpu_shards)
+            if len(devices) >= n:
+                mesh = pool_mesh(n_devices=n, devices=devices)
+                return ShardedAdmmSolver(
+                    compiled, mesh, dtype=jnp.float64, options=opts
+                )
+        except (ValueError, RuntimeError, NotImplementedError):
+            pass  # divisibility / device availability: single-device path
+    return AdmmSolver(compiled, dtype=jnp.float64, options=opts)
+
+
 def refine(
     compiled: CompiledProblem,
     objective,
@@ -73,13 +92,25 @@ def refine(
     target_gap: float = 1e-6,
     max_iters: int = 200_000,
     options: Optional[AdmmOptions] = None,
+    cpu_shards: Optional[int] = None,
 ) -> RefineResult:
     """Polish ``result`` (typically an f32 TPU solve) to a certified gap.
 
     ``objective`` is the same :class:`Objective`/:class:`ConcaveUtility`
     the original solve used.  Returns host-side (numpy) arrays only.
+
+    ``cpu_shards``: shard the f64 polish over N virtual CPU devices
+    (``XLA_FLAGS=--xla_force_host_platform_device_count=N`` must be set
+    before process start) — SPMD over host cores, the same
+    ``ShardedAdmmSolver`` program the TPU mesh uses.  Falls back to the
+    single-device path when the devices or bucket divisibility are not
+    available.
     """
     base = options if options is not None else AdmmOptions()
+    from ..models.utility import CustomUtility
+
+    if isinstance(objective, CustomUtility):
+        cpu_shards = None  # non-separable prox is single-device only
     x64_was = bool(jax.config.jax_enable_x64)
     if not x64_was:
         jax.config.update("jax_enable_x64", True)
@@ -182,9 +213,7 @@ def refine(
                         # at 100k pools
                         consensus="scatter",
                     )
-                    solver = AdmmSolver(
-                        compiled, dtype=jnp.float64, options=opts
-                    )
+                    solver = _make_solver(compiled, opts, cpu_shards)
                 # the budget is a TRACED scalar: growing it across calls
                 # reuses the one compiled f64 program (admm.solve max_iters)
                 res = solver.solve(objective, warm=cur, max_iters=chunk)

@@ -53,6 +53,29 @@ def test_refine_certifies_reference_instances(instance, pin, get):
     assert isinstance(out.result.psi, np.ndarray)
 
 
+def test_refine_cpu_sharded_matches_single_device():
+    """cpu_shards: the f64 polish sharded over 4 virtual CPU devices
+    certifies the same instance to the same target (SPMD-over-cores twin
+    of the single-device refine)."""
+    spec, obj = arbitrage_instance()
+    compiled = compile_spec(spec, pad_pools_to=4)
+    s32 = AdmmSolver(
+        compiled, dtype=jnp.float32,
+        options=AdmmOptions(max_iters=1500, eps_abs=1e-5, eps_rel=1e-5),
+    )
+    res32 = s32.solve(obj)
+    out1 = refine(compiled, obj, res32, target_gap=1e-6)
+    out4 = refine(compiled, obj, res32, target_gap=1e-6, cpu_shards=4)
+    assert out4.achieved and out1.achieved
+    assert abs(out4.certificate.gap_rel) <= 1e-6
+    np.testing.assert_allclose(
+        out4.certificate.objective, out1.certificate.objective, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(out4.result.objective), 21.499805, rtol=2e-6
+    )
+
+
 def test_refine_from_truncated_f32_solve():
     """An UNCONVERGED f32 start (50 iterations) must still refine to a
     certified gap — the polish does the remaining work."""
