@@ -38,6 +38,11 @@ from .solver.compiler import (  # noqa: F401
     compile_table,
 )
 from .solver.driver import ChunkedDriver, SolveLog  # noqa: F401
+from .solver.precondition import (  # noqa: F401
+    Equilibration,
+    equilibrate,
+    unscale_result,
+)
 from .solver.refine import RefineResult, refine  # noqa: F401
 
 __version__ = "0.1.0"
@@ -52,6 +57,7 @@ __all__ = [
     "ConcaveUtility",
     "ConstantSumPool",
     "CustomUtility",
+    "Equilibration",
     "GeoMeanPool",
     "InfeasibilityCertificate",
     "Objective",
@@ -66,6 +72,8 @@ __all__ = [
     "certify_infeasible",
     "compile_spec",
     "compile_table",
+    "equilibrate",
     "refine",
+    "unscale_result",
     "__version__",
 ]

@@ -161,3 +161,59 @@ def test_asset_scales_power_of_two():
         d = asset_scales(table, obj, mode=mode)
         assert np.all(d > 0)
         np.testing.assert_array_equal(d, 2.0 ** np.round(np.log2(d)))
+
+
+def test_weighted_cs_serde_roundtrip():
+    """Weighted constant-sum pools survive the JSON config round-trip."""
+    from cfmm_routing_tpu.utils.serde import spec_from_json, spec_to_json
+
+    spec = ProblemSpec(
+        n_assets=3,
+        pools=[
+            ProductPool((0, 1), [10.0, 10.0], fee=0.997),
+            ConstantSumPool((1, 2), [8.0, 30.0], fee=0.999,
+                            weights=[2.0, 0.5]),
+            ConstantSumPool((0, 2), [4.0, 5.0], fee=1.0),  # uniform
+        ],
+    )
+    spec2 = spec_from_json(spec_to_json(spec))
+    np.testing.assert_array_equal(spec2.pools[1].weights, [2.0, 0.5])
+    np.testing.assert_array_equal(spec2.pools[2].weights, [1.0, 1.0])
+    doc = spec_to_json(spec)
+    assert '"weights"' in doc  # weighted pool serializes its q
+    obj = Objective.arbitrage([1.0, 1.1, 0.6])
+    a = AdmmSolver(compile_spec(spec), dtype=jnp.float64, options=OPTS).solve(obj)
+    b = AdmmSolver(compile_spec(spec2), dtype=jnp.float64, options=OPTS).solve(obj)
+    np.testing.assert_allclose(float(a.objective), float(b.objective), rtol=1e-10)
+
+
+def test_precondition_bounded_pool_vs_oracle():
+    """Equilibration with bounded-liquidity (shifted) pools: shifts scale
+    with the asset units and the optimum is preserved vs the oracle."""
+    from cfmm_routing_tpu.models.pools import BoundedProductPool
+
+    spec = ProblemSpec(
+        n_assets=3,
+        pools=[
+            BoundedProductPool((0, 1), [2.0, 3000.0], [5.0, 8000.0], fee=0.997),
+            ProductPool((1, 2), [4000.0, 6.0], fee=0.997),
+            ProductPool((0, 2), [3.0, 2.0], fee=0.999),
+        ],
+    )
+    obj = Objective.arbitrage([1.0, 0.001, 1.2])
+    ref = oracle_solve(spec, obj)
+
+    table = PoolTable.from_spec(spec)
+    eq = equilibrate(table, obj)
+    compiled_eq = compile_table(eq.table)
+    res = AdmmSolver(compiled_eq, dtype=jnp.float64, options=OPTS).solve(
+        eq.objective
+    )
+    assert bool(res.converged)
+    res0 = unscale_result(
+        __import__("jax").tree_util.tree_map(np.asarray, res), eq.d, compiled_eq
+    )
+    np.testing.assert_allclose(
+        float(np.dot(obj.c, np.asarray(res0.psi))), ref.objective,
+        rtol=1e-6, atol=1e-8,
+    )
