@@ -550,102 +550,6 @@ class AdmmSolver:
             c, lo, hi, rho_v, n_iters=int(iters), util=util, interpret=interpret
         )
 
-    # ---- VMEM-resident block solve ------------------------------------------
-
-    def solve_resident(
-        self,
-        objective,
-        iters: int,
-        block: int = 128,
-        rho: Optional[float] = None,
-        interpret: bool = False,
-    ) -> RouteResult:
-        """Fixed-iteration solve with WHOLE ADMM iterations fused into
-        single Pallas launches (``ops/resident_pallas.py``): projection,
-        consensus exchange and the linear psi-prox all run in VMEM,
-        ``block`` iterations per launch.  For networks whose state fits
-        in VMEM (~<=30k padded slots) this removes the per-iteration
-        dispatch overhead that dominates small-network latency — the
-        real-time-quote path.  Linear :class:`Objective` only.
-        """
-        from ..models.utility import ConcaveUtility
-
-        if isinstance(objective, ConcaveUtility):
-            raise NotImplementedError(
-                "solve_resident supports linear objectives (the in-kernel "
-                "prox is the linear closed form); use solve/solve_fused "
-                "for utility objectives"
-            )
-        for name, arrs in self.buckets.items():
-            if arrs["mask"].shape[1] % 128 != 0:
-                raise ValueError(
-                    f"bucket {name!r}: resident blocks need lane-aligned "
-                    "pool counts (compile with pad_pools_to=128)"
-                )
-        c = jnp.asarray(objective.c, self.dtype)
-        lo = jnp.asarray(
-            np.maximum(objective.lo, -np.finfo(np.float32).max / 4), self.dtype
-        )
-        hi = jnp.asarray(
-            np.minimum(objective.hi, np.finfo(np.float32).max / 4), self.dtype
-        )
-        rho_v = jnp.asarray(
-            rho if rho is not None else self.options.rho, self.dtype
-        )
-        n_blocks, rem = divmod(int(iters), int(block))
-        key = ("resident", int(block), int(rem), bool(interpret))
-        prog = self._custom_cache.get(key)
-        if prog is None:
-            from ..ops.resident_pallas import resident_block
-
-            def _impl(c, lo, hi, rho):
-                z0 = {
-                    name: (
-                        jnp.zeros(arrs["mask"].shape, self.dtype),
-                        jnp.zeros(arrs["mask"].shape, self.dtype),
-                    )
-                    for name, arrs in self.buckets.items()
-                }
-                nu0 = jnp.zeros((self.n,), self.dtype)
-
-                def body(_, st):
-                    z, nu = st
-                    z, nu, _, _ = resident_block(
-                        z, nu, self.buckets, self._meta, self.degree,
-                        c, lo, hi, rho, n_iters=int(block),
-                        alpha=float(self.options.alpha),
-                        cfg=self.options.projection, interpret=interpret,
-                    )
-                    return (z, nu)
-
-                z, nu = jax.lax.fori_loop(0, n_blocks, body, (z0, nu0))
-                if rem:
-                    z, nu, _, _ = resident_block(
-                        z, nu, self.buckets, self._meta, self.degree,
-                        c, lo, hi, rho, n_iters=rem,
-                        alpha=float(self.options.alpha),
-                        cfg=self.options.projection, interpret=interpret,
-                    )
-                # one classic iteration harvests exact residuals and
-                # exactly-feasible trades (same contract as the fused path)
-                z, nu, psi, w, st = self._iterate(z, nu, rho, c, lo, hi)
-                r = jnp.sqrt(st["r2"])
-                sd = jnp.sqrt(st["s2"])
-                obj = jnp.sum(c * psi)
-                return RouteResult(
-                    objective=obj, psi=psi, prices=rho * nu,
-                    deltas={n_: w[n_][0] for n_ in self.buckets},
-                    lambdas={n_: w[n_][1] for n_ in self.buckets},
-                    iters=jnp.asarray(int(iters) + 1, jnp.int32),
-                    r_norm=r, s_norm=sd,
-                    converged=jnp.asarray(False),
-                    rho_final=rho,
-                )
-
-            prog = (None, jax.jit(_impl))
-            self._custom_cache[key] = prog
-        return prog[1](c, lo, hi, rho_v)
-
     # ---- full solve ---------------------------------------------------------
 
     def _solve_impl(self, c, lo, hi, rho0, z0=None, nu0=None, util=None,
