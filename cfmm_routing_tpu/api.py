@@ -97,6 +97,18 @@ def _route_from(solver: AdmmSolver, res, obj: Objective, do_certify: bool,
     )
 
 
+def _reject_solver_with_precondition(solver):
+    if solver is not None:
+        raise ValueError(
+            "solver= and precondition=True are mutually exclusive: the "
+            "preconditioned path solves in rescaled units and must build "
+            "its own solver (the passed solver's compiled problem is in "
+            "original units).  Pass dtype=/options= via **solver_kwargs "
+            "instead, or call solver.solve on an equilibrate()d problem "
+            "directly."
+        )
+
+
 def _solve_preconditioned(spec, objective, certify, solver_kwargs):
     """Equilibrated solve in scaled units, results in ORIGINAL units.
 
@@ -141,6 +153,7 @@ def arbitrage(
     """max market_value @ psi s.t. psi >= 0 (``arbitrage.py:57,77``)."""
     obj = Objective.arbitrage(market_values)
     if precondition:
+        _reject_solver_with_precondition(solver)
         return _solve_preconditioned(spec, obj, certify, solver_kwargs)
     solver = solver or make_solver(spec, **solver_kwargs)
     return _route_from(solver, solver.solve(obj), obj, certify)
@@ -159,6 +172,7 @@ def liquidate(
     (``liquidation.py:57,77-80``)."""
     obj = Objective.liquidation(spec.n_assets, numeraire, holdings)
     if precondition:
+        _reject_solver_with_precondition(solver)
         return _solve_preconditioned(spec, obj, certify, solver_kwargs)
     solver = solver or make_solver(spec, **solver_kwargs)
     return _route_from(solver, solver.solve(obj), obj, certify)
@@ -187,6 +201,7 @@ def route(
     if not isinstance(objective, (Objective, ConcaveUtility)):
         raise TypeError("objective must be an Objective or ConcaveUtility")
     if precondition:
+        _reject_solver_with_precondition(solver)
         return _solve_preconditioned(spec, objective, certify, solver_kwargs)
     solver = solver or make_solver(spec, **solver_kwargs)
     return _route_from(solver, solver.solve(objective), objective, certify)

@@ -168,8 +168,10 @@ class ConstantSumPool(Pool):
     kind = "cs"
 
     def __init__(self, assets, reserves, fee: float = 1.0, weights=None):
+        assets = tuple(assets)  # materialize once: a generator would be
+        #                         exhausted before super().__init__ sees it
         if weights is None:
-            self._q = np.ones(len(tuple(assets)))
+            self._q = np.ones(len(assets))
         else:
             self._q = _as_f64(weights)
         super().__init__(assets, reserves, fee)

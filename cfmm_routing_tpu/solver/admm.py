@@ -627,9 +627,12 @@ class AdmmSolver:
                 # with check_every > 1 the counter advances in strides; fire
                 # the adaptation whenever a stride crosses an adapt_every
                 # boundary so the cadence is preserved in iteration terms
+                # window gate uses the TRACED budget: refine's growing
+                # chunks and explicit max_iters= overrides adapt for the
+                # first half of THEIR budget, not options.max_iters'
                 do_adapt = jnp.logical_and(
                     (k % opts.adapt_every) < check_every,
-                    k < opts.max_iters // 2,
+                    k < iter_budget // 2,
                 )
                 up = jnp.logical_and(do_adapt, r > opts.adapt_ratio * sd)
                 dn = jnp.logical_and(do_adapt, sd > opts.adapt_ratio * r)

@@ -87,8 +87,18 @@ class Certificate:
     def feasibility_rel(self) -> float:
         """Feasibility relative to the trade magnitudes (ECOS/SCS
         convention): a 1e-2 absolute slack on a 1e4-sized psi is a 1e-6
-        relative violation."""
-        return self.feasibility / max(1.0, self.psi_scale)
+        relative violation.
+
+        Only the ABSOLUTE components (nonneg / floor / box, measured in
+        token units) are divided by the trade scale.  ``phi_violation``
+        is already relative — log-domain for geo-mean pools, normalized
+        by k0 for constant-sum — so scaling it again by psi_scale would
+        let a large-trade network certify with a genuinely violated pool
+        invariant."""
+        abs_part = max(
+            self.nonneg_violation, self.floor_violation, self.box_violation
+        )
+        return max(self.phi_violation, abs_part / max(1.0, self.psi_scale))
 
     def summary(self) -> str:
         return (

@@ -23,6 +23,7 @@ so it is safe to call from an f32 TPU session.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Optional
 
 import jax
@@ -66,22 +67,39 @@ def _to_host(res: RouteResult) -> RouteResult:
     return jax.tree_util.tree_map(np.asarray, res)
 
 
-def _make_solver(compiled, opts, cpu_shards):
-    """f64 polish solver: CPU-mesh sharded when requested and possible."""
+def _make_solver(compiled, opts, cpu_shards, strict=False):
+    """f64 polish solver: CPU-mesh sharded when requested and possible.
+
+    A degraded fallback to the single-device path is LOUD: a production
+    run that asked for 8 host cores should not silently run ~1.7x slower
+    (``strict=True`` upgrades the fallback to an error)."""
     if cpu_shards and int(cpu_shards) > 1:
+        n = int(cpu_shards)
+        reason = None
         try:
             from ..parallel.mesh import pool_mesh
             from ..parallel.sharded import ShardedAdmmSolver
 
             devices = jax.devices("cpu")
-            n = int(cpu_shards)
             if len(devices) >= n:
                 mesh = pool_mesh(n_devices=n, devices=devices)
                 return ShardedAdmmSolver(
                     compiled, mesh, dtype=jnp.float64, options=opts
                 )
-        except (ValueError, RuntimeError, NotImplementedError):
-            pass  # divisibility / device availability: single-device path
+            reason = (
+                f"only {len(devices)} CPU device(s) visible — set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={n} "
+                "before process start"
+            )
+        except (ValueError, RuntimeError, NotImplementedError) as e:
+            reason = f"{type(e).__name__}: {e}"
+        msg = (
+            f"refine(cpu_shards={n}) falling back to the SINGLE-DEVICE "
+            f"f64 path ({reason})"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        logging.getLogger("cfmm_routing_tpu.refine").warning(msg)
     return AdmmSolver(compiled, dtype=jnp.float64, options=opts)
 
 
@@ -93,6 +111,7 @@ def refine(
     max_iters: int = 200_000,
     options: Optional[AdmmOptions] = None,
     cpu_shards: Optional[int] = None,
+    strict: bool = False,
 ) -> RefineResult:
     """Polish ``result`` (typically an f32 TPU solve) to a certified gap.
 
@@ -104,7 +123,8 @@ def refine(
     before process start) — SPMD over host cores, the same
     ``ShardedAdmmSolver`` program the TPU mesh uses.  Falls back to the
     single-device path when the devices or bucket divisibility are not
-    available.
+    available — with a WARNING log line, or a RuntimeError when
+    ``strict=True``.
     """
     base = options if options is not None else AdmmOptions()
     from ..models.utility import CustomUtility
@@ -124,12 +144,12 @@ def refine(
                 # feasibility is judged RELATIVE to the trade magnitudes
                 # (ECOS/SCS convention; bench_grid.py uses the same
                 # criterion): a 1e-2 absolute slack on a 1e4-sized psi is
-                # a 1e-6 relative violation, not a 1e-2 one.  The gap is
-                # SYMMETRIC: a negative gap means the residual
-                # infeasibility inflated the primal value past the dual
-                # bound — |gap| bounds that overshoot, so the certified
-                # value matches the true optimum to target_gap from BOTH
-                # sides (the reference-parity pins rely on this).
+                # a 1e-6 relative violation, not a 1e-2 one.  Guarantee:
+                # OPT - objective <= max(gap, 0) is rigorous (dual bound).
+                # A NEGATIVE gap means the residually infeasible point
+                # overshoots the dual bound; the overshoot is controlled
+                # by the feasibility gate, not by |gap| alone, so both
+                # are required to hit target_gap before certifying.
                 return (
                     abs(c.gap_rel) <= target_gap
                     and c.feasibility_rel <= target_gap
@@ -213,7 +233,7 @@ def refine(
                         # at 100k pools
                         consensus="scatter",
                     )
-                    solver = _make_solver(compiled, opts, cpu_shards)
+                    solver = _make_solver(compiled, opts, cpu_shards, strict)
                 # the budget is a TRACED scalar: growing it across calls
                 # reuses the one compiled f64 program (admm.solve max_iters)
                 res = solver.solve(objective, warm=cur, max_iters=chunk)

@@ -107,3 +107,26 @@ def test_api_certify_flag():
     assert route.certificate is not None
     assert route.certificate.gap_rel < 1e-6
     assert "rel_gap" in route.certificate.summary()
+
+
+def test_feasibility_rel_keeps_phi_relative():
+    """phi_violation is already relative (log-domain for gm, k0-normalized
+    for cs); a large trade scale must NOT dilute it — only the absolute
+    components (nonneg/floor/box, token units) divide by psi_scale.
+    Regression for the round-3 advisor finding (certify.py feasibility_rel
+    unsound at psi_scale >> 1)."""
+    import dataclasses
+
+    from cfmm_routing_tpu.solver.certify import Certificate
+
+    cert = Certificate(
+        objective=0.0, dual_bound=0.0, gap_abs=0.0, gap_rel=0.0,
+        phi_violation=1e-2, nonneg_violation=1e-1, floor_violation=0.0,
+        box_violation=0.0, psi_consistency=0.0, prices=np.zeros(1),
+        psi_scale=1e4,
+    )
+    # a 1e-2 RELATIVE pool-invariant violation stays 1e-2, never 1e-6
+    assert abs(cert.feasibility_rel - 1e-2) < 1e-15
+    cert_abs = dataclasses.replace(cert, phi_violation=0.0)
+    # absolute 1e-1 slack on 1e4-sized trades is a 1e-5 relative violation
+    assert abs(cert_abs.feasibility_rel - 1e-5) < 1e-18

@@ -217,3 +217,18 @@ def test_precondition_bounded_pool_vs_oracle():
         float(np.dot(obj.c, np.asarray(res0.psi))), ref.objective,
         rtol=1e-6, atol=1e-8,
     )
+
+
+def test_precondition_rejects_explicit_solver():
+    """precondition=True must not silently drop a caller-supplied solver
+    (its compiled problem is in original units) — round-3 advisor fix."""
+    import pytest as _pytest
+
+    from cfmm_routing_tpu import api
+    from cfmm_routing_tpu.models.reference_instances import arbitrage_instance
+    from cfmm_routing_tpu.solver.compiler import compile_spec
+
+    spec, obj = arbitrage_instance()
+    solver = AdmmSolver(compile_spec(spec))
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        api.arbitrage(spec, obj.c, solver=solver, precondition=True)

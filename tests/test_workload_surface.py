@@ -145,3 +145,37 @@ def test_load_problem_roundtrip(tmp_path):
     spec2, obj2 = load_problem(str(path))
     assert spec2.n_assets == spec.n_assets
     np.testing.assert_allclose(obj2.c, obj.c)
+
+
+def test_constant_sum_pool_accepts_generator_assets():
+    """assets may be any iterable (generators included) — round-3 advisor
+    fix: the default-weights length probe must not exhaust it before the
+    base constructor sees it."""
+    from cfmm_routing_tpu.models.pools import ConstantSumPool
+
+    p = ConstantSumPool((a for a in (0, 1, 2)), [1.0, 2.0, 3.0])
+    assert len(p.assets) == 3
+    assert len(p.weights) == 3
+
+
+def test_refine_strict_raises_on_degraded_cpu_shards():
+    """refine(cpu_shards=N, strict=True) must error, not silently run
+    single-device, when the CPU mesh cannot be built (round-3 verdict:
+    'surface degraded modes loudly')."""
+    import jax
+    import pytest as _pytest
+
+    from cfmm_routing_tpu.models.reference_instances import arbitrage_instance
+    from cfmm_routing_tpu.solver.admm import AdmmSolver
+    from cfmm_routing_tpu.solver.compiler import compile_spec
+    from cfmm_routing_tpu.solver.refine import refine
+
+    spec, obj = arbitrage_instance()
+    solver = AdmmSolver(compile_spec(spec))
+    res = solver.solve(obj, max_iters=5)
+    res = jax.tree_util.tree_map(lambda x: np.asarray(x), res)
+    with _pytest.raises(RuntimeError, match="SINGLE-DEVICE"):
+        refine(
+            compile_spec(spec), obj, res, target_gap=1e-30,
+            cpu_shards=10_000, strict=True,
+        )
