@@ -44,6 +44,7 @@ from .solver.precondition import (  # noqa: F401
     unscale_result,
 )
 from .solver.refine import RefineResult, refine  # noqa: F401
+from .solver.refine_device import DeltaAdmmSolver, refine_device  # noqa: F401
 
 __version__ = "0.1.0"
 
@@ -74,6 +75,8 @@ __all__ = [
     "compile_table",
     "equilibrate",
     "refine",
+    "refine_device",
+    "DeltaAdmmSolver",
     "unscale_result",
     "__version__",
 ]
