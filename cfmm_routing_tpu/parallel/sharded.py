@@ -403,14 +403,10 @@ class ShardedAdmmSolver:
 
     def _pack(self, objective):
         """(c, lo, hi, util) device arrays for a linear Objective or a
-        separable ConcaveUtility; CustomUtility is single-device only."""
-        if isinstance(objective, CustomUtility):
-            raise NotImplementedError(
-                "CustomUtility (non-separable) is not supported on the "
-                "sharded path: its FISTA consensus prox is replicated "
-                "n-vector work with a user-traced fn — solve it on a "
-                "single-device AdmmSolver (admm.py solve) instead"
-            )
+        separable ConcaveUtility (CustomUtility has its own path in
+        :meth:`solve` — its strongly-convex FISTA prox runs REPLICATED
+        per device after the consensus psum, O(n) work that shards
+        nothing but blocks nothing either)."""
         util = None
         if isinstance(objective, ConcaveUtility):
             util = objective.pack(self.dtype)
@@ -429,6 +425,38 @@ class ShardedAdmmSolver:
 
     # ---- public solves -------------------------------------------------------
 
+    def _get_custom_prog(self, custom, has_warm: bool):
+        """Sharded solve program for a non-separable CustomUtility: the
+        utility's fn/prox_iters are trace-time constants, so one program
+        per CustomUtility instance (mirrors AdmmSolver._custom_cache).
+        The FISTA consensus prox runs replicated per device on the
+        psum'd n-vector — the bucket-side work shards exactly as for
+        linear objectives (cvxpy-parity axis: the reference accepts any
+        DCP-concave objective behind ``arbitrage.py:57``)."""
+        key = ("custom", id(custom), has_warm)
+        prog = self._progs.get(key)
+        if prog is None:
+            base = (self._bucket_specs, P(), P(), P(), P(), P())
+            if has_warm:
+                def _sharded_solve(buckets, c, lo, hi, rho, mi, z0, nu0):
+                    return self.inner._solve_impl(
+                        c, lo, hi, rho, z0=z0, nu0=nu0, buckets=buckets,
+                        custom=custom, max_iters=mi,
+                    )
+
+                in_specs = base + (self._z_specs, P())
+            else:
+                def _sharded_solve(buckets, c, lo, hi, rho, mi):
+                    return self.inner._solve_impl(
+                        c, lo, hi, rho, buckets=buckets, custom=custom,
+                        max_iters=mi,
+                    )
+
+                in_specs = base
+            prog = self._shard(_sharded_solve, in_specs, self._result_specs)
+            self._progs[key] = prog
+        return prog
+
     def solve(
         self,
         objective,
@@ -436,10 +464,39 @@ class ShardedAdmmSolver:
         warm: Optional[RouteResult] = None,
         max_iters: Optional[int] = None,
     ) -> RouteResult:
-        """Sharded solve for a linear :class:`Objective` or a separable
-        :class:`ConcaveUtility` (same surface as ``AdmmSolver.solve``
-        minus CustomUtility).  ``warm`` seeds (z0, nu0) from a prior
-        solve; ``max_iters`` is a traced per-call budget."""
+        """Sharded solve for a linear :class:`Objective`, a separable
+        :class:`ConcaveUtility`, or a non-separable
+        :class:`CustomUtility` (same surface as ``AdmmSolver.solve``).
+        ``warm`` seeds (z0, nu0) from a prior solve; ``max_iters`` is a
+        traced per-call budget."""
+        if isinstance(objective, CustomUtility):
+            dt = self.dtype
+            c = jnp.zeros((self.n,), dt)
+            lo = jnp.asarray(
+                np.maximum(objective.lo, -np.finfo(np.float32).max / 4), dt
+            )
+            hi = jnp.asarray(
+                np.minimum(objective.hi, np.finfo(np.float32).max / 4), dt
+            )
+            if rho is not None:
+                rho_f = rho
+            elif warm is not None:
+                rho_f = float(np.asarray(warm.rho_final))
+            else:
+                rho_f = self.inner.options.rho
+            mi = jnp.asarray(
+                self.inner.options.max_iters if max_iters is None else max_iters,
+                jnp.int32,
+            )
+            prog = self._get_custom_prog(objective, warm is not None)
+            args = (
+                self.buckets_device, c, lo, hi,
+                jnp.asarray(rho_f, self.dtype), mi,
+            )
+            if warm is not None:
+                z0, nu0 = self.inner.warm_state(warm, rho_f)
+                args = args + (z0, nu0)
+            return prog(*args)
         c, lo, hi, util = self._pack(objective)
         if rho is not None:
             rho_f = rho
@@ -501,6 +558,70 @@ class ShardedAdmmSolver:
             jnp.asarray(np.minimum(hi, np.finfo(np.float32).max / 4), dt),
             jnp.asarray(rho if rho is not None else self.inner.options.rho, dt),
         )
+
+    def solve_batch_reserves(
+        self, objective, reserve_scale, rho: Optional[float] = None
+    ) -> RouteResult:
+        """B per-pool reserve scenarios over the 2-D ('batch','pools')
+        mesh — the sharded form of ``AdmmSolver.solve_batch_reserves``
+        (BASELINE config 5; the state-sweep generalization of the
+        reference loop at ``two-asset.py:40-91``).
+
+        Each device runs B/D_batch vmapped solves over its m/D_pools
+        pool shard; only the reserve-derived leaves (R, k0, logk0) carry
+        the batch axis, topology is replicated along it.  B must divide
+        the mesh's batch extent.
+        """
+        if not self.batch_axis:
+            raise ValueError("mesh has no 'batch' axis; use pool_batch_mesh")
+        c, lo, hi, util = self._pack(objective)
+        rho_v = jnp.asarray(
+            rho if rho is not None else self.inner.options.rho, self.dtype
+        )
+        bks, axes = self.inner.batch_reserve_arrays(reserve_scale)
+        bspecs = {
+            name: {
+                k: (
+                    P("batch", None, "pools") if k == "R"
+                    else P("batch", "pools") if k in ("k0", "logk0")
+                    else self._bucket_specs[name][k]
+                )
+                for k in bks[name]
+            }
+            for name in bks
+        }
+        key = ("batch_reserves", util is not None)
+        prog = self._progs.get(key)
+        if prog is None:
+            def _prog(buckets, c_, lo_, hi_, rho_, *u):
+                ut = u[0] if u else None
+                return jax.vmap(
+                    lambda b2: self.inner._solve_impl(
+                        c_, lo_, hi_, rho_, util=ut, buckets=b2
+                    ),
+                    in_axes=(axes,),
+                )(buckets)
+
+            batch_out = RouteResult(
+                objective=P("batch"), psi=P("batch"), prices=P("batch"),
+                deltas={
+                    n_: P("batch", None, "pools") for n_ in self.compiled.buckets
+                },
+                lambdas={
+                    n_: P("batch", None, "pools") for n_ in self.compiled.buckets
+                },
+                iters=P("batch"), r_norm=P("batch"), s_norm=P("batch"),
+                converged=P("batch"), rho_final=P("batch"),
+            )
+            in_specs = (bspecs, P(), P(), P(), P())
+            if util is not None:
+                in_specs = in_specs + (P(),)
+            prog = self._shard(_prog, in_specs, batch_out)
+            self._progs[key] = prog
+        args = (bks, c, lo, hi, rho_v)
+        if util is not None:
+            args = args + (util,)
+        return prog(*args)
 
     def unbucket(self, result: RouteResult):
         return self.inner.unbucket(result)

@@ -241,6 +241,20 @@ def _to_host(res: RouteResult) -> RouteResult:
     return jax.tree_util.tree_map(np.asarray, res)
 
 
+def _psi_from_trades(compiled, point: RouteResult) -> np.ndarray:
+    """Exact f64 net trade of the point's TRADES.  The correction
+    problem's box residuals must be consistent with the trades the
+    deltas are centered on — the consensus iterate ``point.psi`` lags
+    them by the primal residual, which would poison the composed
+    point's box feasibility at exactly that magnitude."""
+    psi = np.zeros(compiled.n_assets + 1)
+    for name, b in compiled.buckets.items():
+        D = np.asarray(point.deltas[name], np.float64)
+        L = np.asarray(point.lambdas[name], np.float64)
+        np.add.at(psi, b.asset.reshape(-1), ((L.T - D.T) * b.mask).reshape(-1))
+    return psi[: compiled.n_assets]
+
+
 def refine_device(
     compiled: CompiledProblem,
     objective,
@@ -327,9 +341,11 @@ def refine_device(
 
     total = 0
     for _ in range(int(max_passes)):
+        psi0 = _psi_from_trades(compiled, cur)
+        cur = cur._replace(psi=psi0)
         # eps lives in SOLVE-space variable units (cert.psi_scale may be
         # in the caller's units when cert_space is set)
-        scale = max(1.0, float(np.max(np.abs(np.asarray(cur.psi, np.float64)))))
+        scale = max(1.0, float(np.max(np.abs(psi0))))
         err = max(cert.feasibility_rel, abs(cert.gap_rel), 1e-12)
         # headroom factor 10: the correction in flat directions can be
         # larger than the gap suggests; over-sizing eps only costs a
@@ -359,6 +375,11 @@ def refine_device(
         dwarm = None
         improved = False
         for _c in range(int(chunks_per_pass)):
+            if dwarm is not None:
+                # continue at the penalty the PREVIOUS chunk adapted to —
+                # restarting at the pass-initial rho forces the whole
+                # re-adaptation transient every chunk
+                rho = float(np.asarray(dwarm.rho_final))
             dres = solver.solve_delta(
                 dobj, bdict, nu0, rho, chunk_iters, warm=dwarm
             )

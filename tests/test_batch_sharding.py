@@ -120,3 +120,32 @@ def test_batched_reserve_scenarios_padded_buckets():
         np.asarray(out_padded.objective), np.asarray(out_plain.objective),
         rtol=1e-8,
     )
+
+
+def test_sharded_batch_reserves_matches_single_device():
+    """ShardedAdmmSolver.solve_batch_reserves over the ('batch','pools')
+    mesh == AdmmSolver.solve_batch_reserves (round-3 verdict gap #3:
+    BASELINE config 5 previously ran single-device only)."""
+    from cfmm_routing_tpu.models.reference_instances import arbitrage_instance
+
+    spec, obj = arbitrage_instance()
+    rng = np.random.default_rng(5)
+    B = 4
+    scale = rng.uniform(0.7, 1.4, size=(B, len(spec.pools)))
+
+    mesh = pool_batch_mesh(pools=2, batch=4, platform="cpu")
+    sharded = ShardedAdmmSolver(spec, mesh, dtype=jnp.float64, options=OPTS)
+    out_s = sharded.solve_batch_reserves(obj, scale)
+
+    single = AdmmSolver(
+        compile_spec(spec, pad_pools_to=2), dtype=jnp.float64, options=OPTS
+    )
+    out_1 = single.solve_batch_reserves(obj, scale)
+
+    assert out_s.objective.shape == (B,)
+    np.testing.assert_allclose(
+        np.asarray(out_s.objective), np.asarray(out_1.objective), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s.psi), np.asarray(out_1.psi), atol=1e-6
+    )

@@ -259,17 +259,45 @@ def test_fused_sharded_concave_utility():
     )
 
 
-def test_sharded_custom_utility_raises():
+def test_sharded_custom_utility_matches_single_device():
+    """Non-separable CustomUtility on the sharded path (round-3 verdict
+    gap #4): the FISTA consensus prox runs replicated after the psum;
+    pool work shards.  Must match the single-device solve."""
+    import jax.numpy as jnp
+
+    from cfmm_routing_tpu.models.reference_instances import arbitrage_instance
     from cfmm_routing_tpu.models.utility import CustomUtility
 
-    spec, _ = arbitrage_instance()
-    mesh = pool_mesh(n_devices=2, platform="cpu")
-    sharded = ShardedAdmmSolver(
-        spec, mesh, dtype=jnp.float64, options=AdmmOptions(max_iters=10)
+    spec, obj = arbitrage_instance()
+    n = spec.n_assets
+    c = jnp.asarray(obj.c)
+
+    def fn(psi):
+        # smooth non-separable concave: linear value minus a softplus
+        # coupling penalty on total inventory
+        tot = jnp.sum(psi)
+        return jnp.sum(c * psi) - 0.5 * jnp.log1p(jnp.exp(tot - 4.0))
+
+    util = CustomUtility(
+        fn=fn, lo=np.zeros(n), hi=np.full(n, np.inf),
+        smoothness=2.0, prox_iters=60,
     )
-    cu = CustomUtility(
-        fn=lambda psi: jnp.sum(psi), lo=np.zeros(4), hi=np.full(4, np.inf),
-        smoothness=1.0,
+    opts = AdmmOptions(max_iters=6000, eps_abs=1e-9, eps_rel=1e-9)
+    single = AdmmSolver(
+        compile_spec(spec, pad_pools_to=2), dtype=jnp.float64, options=opts
     )
-    with pytest.raises(NotImplementedError, match="sharded"):
-        sharded.solve(cu)
+    res_1 = single.solve(util)
+
+    mesh = pool_mesh(2, platform="cpu")
+    sharded = ShardedAdmmSolver(spec, mesh, dtype=jnp.float64, options=opts)
+    res_s = sharded.solve(util)
+
+    np.testing.assert_allclose(
+        float(res_s.objective), float(res_1.objective), rtol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.psi), np.asarray(res_1.psi), atol=1e-7
+    )
+    # warm re-solve on the sharded path reuses the compiled program
+    res_w = sharded.solve(util, warm=res_s)
+    assert int(res_w.iters) <= 10
