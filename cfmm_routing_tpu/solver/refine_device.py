@@ -79,6 +79,89 @@ class DeltaAdmmSolver(AdmmSolver):
             arrs["aD"], arrs["aL"], arrs["mask"], cfg=cfg,
         )
 
+    def _iterate(self, z, nu, rho, c, lo, hi, util=None, buckets=None,
+                 custom=None, with_stats=True):
+        """Delta-dual iteration (linear objectives): ``nu`` carries the
+        DELTA dual  dnu := nu_full - nu0  and ``c`` carries the folded
+        constant  e0 := c_true/rho - nu0  (f64-computed, small).
+
+        Why: the classic prox forms  s = yhat - 2*d*nu  with per-asset
+        degree d (O(100+) at production aspect ratios) and an O(1) dual —
+        f32 rounding of that product injects ~d*|nu0|*1e-7 ABSOLUTE noise
+        into the consensus every iteration, which is exactly the residual
+        floor the correction solve exists to remove (measured: the 16k/256
+        delta solve stalled at r ~ 5e-4 = box infeasibility).  With the
+        dual re-centered, every prox quantity is small:
+
+            psi = clip(yhat + 2 d (e0 - dnu), lo, hi)
+            dmu = dnu + (psi - yhat) / (2 d)          (the new delta dual)
+
+        The base dual enters the projection input only through the
+        PRE-BROADCAST f32-exact plane ``nu0e`` (no d-amplification).
+        Utility objectives fall back to the classic iteration (their
+        atom-wise re-centering has no closed form); their refinement
+        floor keeps the d-amplified term.
+        """
+        if util is not None or custom is not None:
+            return super()._iterate(
+                z, nu, rho, c, lo, hi, util=util, buckets=buckets,
+                custom=custom, with_stats=with_stats,
+            )
+        buckets = self.buckets if buckets is None else buckets
+        alpha = jnp.asarray(self.options.alpha, self.dtype)
+        w_hat = {}
+        w_norm2 = jnp.zeros((), self.dtype)
+        yhat = jnp.zeros((self.n,), self.dtype)
+        for name, arrs in buckets.items():
+            dnu_e = self._bcast_nu(nu, name, buckets)
+            off = arrs["nu0e"] + dnu_e
+            zD, zL = z[name]
+            D, L = self._project(name, arrs, zD - off, zL + off)
+            if with_stats:
+                w_norm2 += jnp.sum(D * D) + jnp.sum(L * L)
+            hD = alpha * D + (1.0 - alpha) * zD
+            hL = alpha * L + (1.0 - alpha) * zL
+            w_hat[name] = (D, L, hD, hL)
+            yhat = yhat + self._reduce_edges(hL - hD, name, buckets)
+
+        yhat = self._psum(yhat)
+        d_safe = jnp.maximum(self.degree, 1.0)
+        psi = yhat + 2.0 * d_safe * (c - nu)  # c == e0, nu == dnu: all small
+        psi = jnp.clip(psi, lo, hi)
+        psi = jnp.where(self.degree > 0, psi, 0.0)
+        dmu = nu + (psi - yhat) / (2.0 * d_safe)
+        dmu = jnp.where(self.degree > 0, dmu, 0.0)
+
+        z_new = {}
+        w_out = {}
+        r2 = jnp.zeros((), self.dtype)
+        s2 = jnp.zeros((), self.dtype)
+        z_norm2 = jnp.zeros((), self.dtype)
+        for name, arrs in buckets.items():
+            D, L, hD, hL = w_hat[name]
+            dmu_e = self._bcast_nu(nu - dmu, name, buckets)
+            znD = hD + dmu_e
+            znL = hL - dmu_e
+            if with_stats:
+                zD, zL = z[name]
+                s2 += jnp.sum((znD - zD) ** 2) + jnp.sum((znL - zL) ** 2)
+                rD = D - znD
+                rL = L - znL
+                r2 += jnp.sum(rD * rD) + jnp.sum(rL * rL)
+                z_norm2 += jnp.sum(znD * znD) + jnp.sum(znL * znL)
+            z_new[name] = (znD, znL)
+            w_out[name] = (D, L)
+
+        if with_stats:
+            packed = self._psum(jnp.stack([r2, s2, w_norm2, z_norm2]))
+            r2, s2, w_norm2, z_norm2 = packed[0], packed[1], packed[2], packed[3]
+        u_norm2 = jnp.sum(2.0 * self.degree * dmu * dmu)
+        stats = dict(
+            r2=r2, s2=s2 * rho * rho, w_norm2=w_norm2, z_norm2=z_norm2,
+            u_norm2=u_norm2 * rho * rho,
+        )
+        return z_new, dmu, psi, w_out, stats
+
     def solve_fused(self, *a, **k):
         raise NotImplementedError(
             "the fused Pallas path projects onto the ORIGINAL trading "
@@ -86,18 +169,25 @@ class DeltaAdmmSolver(AdmmSolver):
             "its throughput, is the point)"
         )
 
-    def delta_buckets(self, base: RouteResult, eps: float):
+    def delta_buckets(self, base: RouteResult, eps: float, nu0=None):
         """Pass-varying device arrays for the correction problem.
 
         ``base``: host-side RouteResult in the SAME units the solver's
-        CompiledProblem is in.  Returns (buckets_pytree, min_x0) where
-        min_x0 is the smallest real-slot post-trade reserve — callers
-        must fall back to the host path if it is not safely positive
-        (the log-domain constraint needs x0 > 0).
+        CompiledProblem is in.  ``nu0``: the f32-exact base scaled dual —
+        when given, every bucket gains the pre-broadcast ``nu0e`` plane
+        the delta-dual iteration reads (see :meth:`_iterate`).  Returns
+        (buckets_pytree, min_x0) where min_x0 is the smallest real-slot
+        post-trade reserve — callers must fall back to the host path if
+        it is not safely positive (the log-domain constraint needs
+        x0 > 0).
         """
         dt = self.dtype
         out = {}
         min_x0 = np.inf
+        nu0_ext = (
+            None if nu0 is None
+            else np.concatenate([np.asarray(nu0, np.float64), [0.0]])
+        )
         for name, b in self.compiled.buckets.items():
             kind, _ = self._meta[name]
             D0 = np.asarray(base.deltas[name], np.float64)  # (K, m)
@@ -124,6 +214,8 @@ class DeltaAdmmSolver(AdmmSolver):
             arrs["aL"] = jnp.asarray(-L0 / eps, dt)
             arrs["sS"] = jnp.asarray(b.shift.T / eps, dt)
             arrs["nsig"] = jnp.asarray(nsig, dt)
+            if nu0_ext is not None:
+                arrs["nu0e"] = jnp.asarray(nu0_ext[b.asset].T * maskT, dt)
             out[name] = arrs
         return out, min_x0
 
@@ -138,23 +230,33 @@ class DeltaAdmmSolver(AdmmSolver):
     ) -> RouteResult:
         """One correction solve on the delta bucket arrays.
 
-        ``nu0``: starting scaled dual (base prices / rho — already
-        converged, so only the primal correction has to move).  ``warm``
-        chains chunks within a pass (delta-space RouteResult)."""
+        Linear objectives run the DELTA-DUAL iteration: the state dual is
+        dnu = nu - nu0 (starts at 0 — the base dual is already
+        converged), the traced ``c`` slot carries e0 = c/rho - nu0, and
+        the returned ``prices`` are rho*dnu (delta-space; add rho*nu0 to
+        recover true prices — :func:`refine_device` does).  Utility
+        objectives run the classic full-dual iteration.  ``warm`` chains
+        chunks within a pass (same-space RouteResult).
+        """
         util = None
         if isinstance(objective, ConcaveUtility):
             util = objective.pack(self.dtype)
             c, lo, hi = util.c, util.lo, util.hi
+            start_nu = np.asarray(nu0, np.float64)
         else:
-            c = jnp.asarray(objective.c, self.dtype)
+            e0 = np.asarray(objective.c, np.float64) / float(rho) - np.asarray(
+                nu0, np.float64
+            )
+            c = jnp.asarray(e0, self.dtype)
             fmax = np.finfo(np.float32).max / 4
             lo = jnp.asarray(np.maximum(objective.lo, -fmax), self.dtype)
             hi = jnp.asarray(np.minimum(objective.hi, fmax), self.dtype)
+            start_nu = np.zeros_like(np.asarray(nu0, np.float64))  # dnu = 0
         if warm is not None:
             z0, nu0_arr = self.warm_state(warm, rho)
         else:
             z0 = None
-            nu0_arr = jnp.asarray(nu0, self.dtype)
+            nu0_arr = jnp.asarray(start_nu, self.dtype)
         return self._solve_jit(
             c, lo, hi, jnp.asarray(rho, self.dtype), z0, nu0_arr, util,
             bdict, max_iters=jnp.asarray(int(max_iters), jnp.int32),
@@ -198,7 +300,8 @@ def _delta_objective(objective, psi0: np.ndarray, eps: float):
     )
 
 
-def _compose(compiled, base, delta: RouteResult, eps: float, objective):
+def _compose(compiled, base, delta: RouteResult, eps: float, objective,
+             prices=None):
     """f64 host composition of the refined point: D = D0 + eps*a (clamped
     to the orthant — the scaled bound is exact to f32, so the clamp
     moves coordinates by at most ~1e-7*eps*|D0| and only toward
@@ -218,7 +321,8 @@ def _compose(compiled, base, delta: RouteResult, eps: float, objective):
             psi, b.asset.reshape(-1), ((L.T - D.T) * b.mask).reshape(-1)
         )
     psi = psi[: compiled.n_assets]
-    prices = np.asarray(delta.prices, np.float64)
+    if prices is None:
+        prices = np.asarray(delta.prices, np.float64)
     if isinstance(objective, ConcaveUtility):
         obj = objective.value(psi)
     else:
@@ -267,6 +371,8 @@ def refine_device(
     solver: Optional[DeltaAdmmSolver] = None,
     polish: bool = True,
     cert_space=None,
+    rho0: Optional[float] = None,
+    eps_factor: float = 10.0,
 ) -> RefineResult:
     """Polish an f32 solve to a certified gap with ON-DEVICE f32
     correction solves (see module docstring).  Drop-in for
@@ -306,7 +412,11 @@ def refine_device(
             cert_compiled, cert_objective, point.deltas, point.lambdas,
             point.prices, psi_claimed=point.psi,
         )
-        if polish and not _hit(cert) and cert.gap_abs > 0:
+        # the L-BFGS price polish exists to close NEAR-MISS dual looseness;
+        # running it on every far-from-target chunk certificate costs
+        # seconds per pass for nothing (measured: no outcome change)
+        near_miss = cert.gap_rel < 50.0 * target_gap
+        if polish and not _hit(cert) and cert.gap_abs > 0 and near_miss:
             try:
                 nu_p = polish_prices(
                     cert_compiled, cert_objective, np.asarray(point.prices),
@@ -334,8 +444,12 @@ def refine_device(
             max_iters=max(base_opts.max_iters, chunk_iters),
             # residual tolerances on the SCALED correction: eps-rel noise
             # in scaled units is ~1e-7, so 1e-7-class targets are the
-            # f32 floor of the delta solve
-            eps_abs=1e-8, eps_rel=1e-8,
+            # f32 floor of the delta solve.  rho adaptation is off: the
+            # delta-dual iteration folds c/rho - nu0 into a per-pass
+            # constant, which an in-solve penalty rescale would break
+            # (and measured: the delta iteration count is insensitive to
+            # rho over 0.25..4x).
+            eps_abs=1e-8, eps_rel=1e-8, adapt_rho=False,
         )
         solver = DeltaAdmmSolver(compiled, dtype=jnp.float32, options=opts)
 
@@ -343,16 +457,41 @@ def refine_device(
     for _ in range(int(max_passes)):
         psi0 = _psi_from_trades(compiled, cur)
         cur = cur._replace(psi=psi0)
-        # eps lives in SOLVE-space variable units (cert.psi_scale may be
-        # in the caller's units when cert_space is set)
-        scale = max(1.0, float(np.max(np.abs(psi0))))
+        # eps lives in SOLVE-space PER-SLOT trade units.  Using the
+        # per-asset psi scale here (which can exceed the slot scale by
+        # the ~degree-sized fan-in) oversizes eps by that factor and the
+        # fixed-penalty delta solve crawls — measured at 16k pools/256
+        # assets: psi-scale eps needed >6000 iterations and never
+        # certified; trade-scale eps certified in ONE 250-iteration chunk.
+        scale = max(
+            1.0,
+            max(
+                max(
+                    float(np.max(np.abs(np.asarray(cur.deltas[k])))),
+                    float(np.max(np.abs(np.asarray(cur.lambdas[k])))),
+                )
+                for k in cur.deltas
+            ),
+        )
         err = max(cert.feasibility_rel, abs(cert.gap_rel), 1e-12)
-        # headroom factor 10: the correction in flat directions can be
-        # larger than the gap suggests; over-sizing eps only costs a
-        # little of the precision gain, under-sizing costs nothing but
+        # headroom factor (default 10): the correction in flat directions
+        # can be larger than the gap suggests; over-sizing eps only costs
+        # a little of the precision gain, under-sizing costs nothing but
         # larger scaled iterates (f32 range is not a constraint)
-        eps = float(np.clip(10.0 * err * scale, 1e-10 * scale, np.inf))
-        bdict, min_x0 = solver.delta_buckets(cur, eps)
+        eps = float(np.clip(eps_factor * err * scale, 1e-10 * scale, np.inf))
+        rho = float(np.asarray(cur.rho_final)) if rho0 is None else float(rho0)
+        linear = not isinstance(objective, ConcaveUtility)
+        # f32-round nu0 ONCE and use the identical values in the nu0e
+        # planes, in e0, and in the price reconstruction — consistency of
+        # the re-centering constant is what makes the fold exact
+        nu0f = (
+            (np.asarray(cur.prices, np.float64) / rho)
+            .astype(np.float32)
+            .astype(np.float64)
+        )
+        bdict, min_x0 = solver.delta_buckets(
+            cur, eps, nu0=nu0f if linear else None
+        )
         if not (min_x0 > 0.0) or not np.isfinite(min_x0):
             _LOG.warning(
                 "refine_device: base point has a non-positive post-trade "
@@ -370,22 +509,28 @@ def refine_device(
                 iters=total + host.iters, achieved=host.achieved,
             )
         dobj = _delta_objective(objective, np.asarray(cur.psi, np.float64), eps)
-        rho = float(np.asarray(cur.rho_final))
-        nu0 = np.asarray(cur.prices, np.float64) / rho
+        # NOTE the deliberate scale break: exact penalty correspondence to
+        # the base solve would be rho~ = rho_base * eps with dual nu/eps —
+        # but an O(1/eps) dual reintroduces exactly the f32 cancellation
+        # this module exists to remove.  The delta problem is kept
+        # self-normalized (variables O(1) by the eps choice) with the
+        # dual re-centered at nu0 (see DeltaAdmmSolver._iterate).
         dwarm = None
         improved = False
         for _c in range(int(chunks_per_pass)):
-            if dwarm is not None:
-                # continue at the penalty the PREVIOUS chunk adapted to —
-                # restarting at the pass-initial rho forces the whole
-                # re-adaptation transient every chunk
-                rho = float(np.asarray(dwarm.rho_final))
             dres = solver.solve_delta(
-                dobj, bdict, nu0, rho, chunk_iters, warm=dwarm
+                dobj, bdict, nu0f, rho, chunk_iters, warm=dwarm
             )
             dwarm = _to_host(dres)
             total += int(np.asarray(dwarm.iters))
-            cand = _compose(compiled, cur, dwarm, eps, objective)
+            prices_true = (
+                rho * nu0f + np.asarray(dwarm.prices, np.float64)
+                if linear
+                else None
+            )
+            cand = _compose(
+                compiled, cur, dwarm, eps, objective, prices=prices_true
+            )
             cand_cert = _cert(cand)
             if (
                 max(cand_cert.feasibility_rel, abs(cand_cert.gap_rel))
