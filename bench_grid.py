@@ -132,6 +132,7 @@ def run_config(m, n_assets, B, fused):
     cert = None
     w_out = None
     w_scaled = None
+    last_cert_at = 0
     while iters < MAX_ITERS:
         t0 = time.perf_counter()
         z, nu, r2, s2, w2, z2, u2, psi, objv = drv._chunk_jit(
@@ -146,6 +147,13 @@ def run_config(m, n_assets, B, fused):
             rho, nu = rho * 2.0, nu / 2.0
         elif s > 3.0 * r:
             rho, nu = rho / 2.0, nu * 2.0
+        # certificate cadence: every chunk until 1e-3 is certified (the
+        # grid's first column), then only near the residual floor —
+        # mid-trajectory certificates can't fire any exit and cost
+        # ~0.3-2.4s/pass at these sizes (but never go >6 chunks blind)
+        if loose is not None and r > 5e-3 and iters - last_cert_at < 6 * CHUNK:
+            continue
+        last_cert_at = iters
         t0 = time.perf_counter()
         cert, w_out, w_scaled = _certify_orig(
             solver, compiled, compiled_orig, obj, eq.d, z, nu, rho, psi

@@ -81,6 +81,15 @@ class AdmmOptions:
     #   'auto'    — onehot for n_assets <= 512, radix above
     consensus: str = "auto"
     onehot_chunk: int = 512
+    # cross-shard consensus reduction: 'psum' lets XLA pick the reduction
+    # tree (order differs from the single-device sum — f32 drift compounds
+    # over iterations); 'compensated' all_gathers the per-device partials
+    # and sums them in a FIXED order with Neumaier compensation, making
+    # the cross-device part of the reduction deterministic and exact to
+    # one final rounding regardless of shard count.  Cost: an all_gather
+    # of the (n,)-vector + D*n adds per iteration — negligible next to
+    # the bucket work for n <= a few thousand.  Single-device: ignored.
+    precise_consensus: bool = False
 
 
 class RouteResult(NamedTuple):
@@ -176,6 +185,26 @@ class AdmmSolver:
         self.axis_name = axis_name
         if axis_name is None:
             self._psum = lambda x: x
+        elif options.precise_consensus:
+            def _psum_compensated(x):
+                # (D, ...) per-device partials in axis order — identical
+                # on every device, so the fixed-order compensated sum is
+                # bitwise-reproducible and shard-count independent
+                parts = jax.lax.all_gather(x, axis_name)
+
+                def body(carry, p):
+                    s, comp = carry
+                    t = s + p
+                    comp = comp + jnp.where(
+                        jnp.abs(s) >= jnp.abs(p), (s - t) + p, (p - t) + s
+                    )
+                    return (t, comp), None
+
+                zero = jnp.zeros_like(x)
+                (s, comp), _ = jax.lax.scan(body, (zero, zero), parts)
+                return s + comp
+
+            self._psum = _psum_compensated
         else:
             self._psum = lambda x: jax.lax.psum(x, axis_name)
         self._segsum = segment_sum_fn or (

@@ -415,12 +415,12 @@ def refine_device(
         # the L-BFGS price polish exists to close NEAR-MISS dual looseness;
         # running it on every far-from-target chunk certificate costs
         # seconds per pass for nothing (measured: no outcome change)
-        near_miss = cert.gap_rel < 50.0 * target_gap
+        near_miss = cert.gap_rel < 20.0 * target_gap
         if polish and not _hit(cert) and cert.gap_abs > 0 and near_miss:
             try:
                 nu_p = polish_prices(
                     cert_compiled, cert_objective, np.asarray(point.prices),
-                    max_evals=200 if cert_compiled.n_pools <= 20_000 else 50,
+                    max_evals=60,
                 )
                 cert_p = certify(
                     cert_compiled, cert_objective, point.deltas,
