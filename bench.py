@@ -69,8 +69,10 @@ def _sanity() -> bool:
     liquidation,two-asset}.py prints).
 
     Two-stage: the f32 on-device solve must land within 5e-3 of the pin,
-    then the host f64 refine stage must CERTIFY <=1e-6 relative gap from
-    that f32 iterate (the ECOS-parity criterion) and match the pin to 2e-6."""
+    then the DEVICE-RESIDENT refinement (solver/refine_device.py — f32
+    correction solves on the same chip, rigorous f64 certificates) must
+    certify <=1e-7 relative gap from that f32 iterate (the ECOS-parity
+    criterion) and match the pin to 2e-6."""
     from cfmm_routing_tpu.models.reference_instances import (
         arbitrage_instance,
         liquidation_instance,
@@ -78,7 +80,7 @@ def _sanity() -> bool:
     )
     from cfmm_routing_tpu.solver.admm import AdmmOptions, AdmmSolver
     from cfmm_routing_tpu.solver.compiler import compile_spec
-    from cfmm_routing_tpu.solver.refine import refine
+    from cfmm_routing_tpu.solver.refine_device import refine_device
 
     opts = AdmmOptions(max_iters=6000, eps_abs=2e-6, eps_rel=2e-6)
     checks = [
@@ -95,7 +97,7 @@ def _sanity() -> bool:
             v32 = get(res32)
             rel32 = abs(v32 - pin) / abs(pin)
             _log(f"sanity[{label}]: f32 {v32:.6f} vs {pin} (rel {rel32:.1e})")
-            ref = refine(s.compiled, obj, res32, target_gap=1e-6)
+            ref = refine_device(s.compiled, obj, res32, target_gap=1e-7)
             v64 = get(ref.result)
             rel64 = abs(v64 - pin) / abs(pin)
             _log(

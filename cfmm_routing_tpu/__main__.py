@@ -47,7 +47,14 @@ def _cmd_solve(args) -> int:
         print("error: problem file has no 'objective' section", file=sys.stderr)
         return 2
     solver = _make_solver(spec, args)
-    route = _route_from(solver, solver.solve(obj), obj, args.certify)
+    if getattr(args, "refine_to", None):
+        from .api import _refined_route
+
+        route = _refined_route(
+            solver, solver.compiled, obj, solver.solve(obj), args.refine_to
+        )
+    else:
+        route = _route_from(solver, solver.solve(obj), obj, args.certify)
     out = {
         "objective": route.objective,
         "psi": route.psi.tolist(),
@@ -155,6 +162,11 @@ def main(argv=None) -> int:
     ps = sub.add_parser("solve", help="solve the problem file's objective")
     common(ps)
     ps.add_argument("--certify", action="store_true", help="f64 optimality certificate")
+    ps.add_argument(
+        "--refine-to", type=float, default=None, dest="refine_to",
+        help="device-resident refinement to this certified relative gap "
+        "(e.g. 1e-6); implies a certificate",
+    )
     ps.add_argument("--trades", action="store_true", help="print per-pool trades")
     ps.set_defaults(fn=_cmd_solve)
 

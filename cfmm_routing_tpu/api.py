@@ -97,6 +97,40 @@ def _route_from(solver: AdmmSolver, res, obj: Objective, do_certify: bool,
     )
 
 
+def _refined_route(solver, compiled, solve_objective, res, refine_to,
+                   cert_space=None) -> Route:
+    """Run device-resident refinement to ``refine_to`` and build the Route
+    from the refined point (always carries its certificate).
+    ``cert_space``: the refine_device (cert_compiled, cert_objective,
+    unscale_fn) triple for preconditioned solves."""
+    from .solver.refine_device import refine_device
+
+    out = refine_device(
+        compiled, solve_objective, res, target_gap=refine_to,
+        cert_space=cert_space,
+    )
+    route = _route_from(solver, out.result, solve_objective, False)
+    route.certificate = out.certificate
+    route.converged = bool(out.achieved)
+    # the certificate recomputes the objective from the trades in f64 in
+    # the CALLER's units — authoritative over the solve-space value
+    route.objective = float(out.certificate.objective)
+    return route
+
+
+def _floor_options(solver_kwargs, refine_to):
+    """Refinement lifts the f32 noise floor but converges at ADMM's usual
+    rate — it needs a base iterate AT the floor, not a rough one.  When
+    the caller asked for a certified gap without tuning the solver, run
+    the base solve to residual 1e-7 (its f32 floor neighborhood)."""
+    if refine_to is not None and "options" not in solver_kwargs:
+        solver_kwargs = dict(
+            solver_kwargs,
+            options=AdmmOptions(max_iters=20_000, eps_abs=1e-7, eps_rel=1e-7),
+        )
+    return solver_kwargs
+
+
 def _reject_solver_with_precondition(solver):
     if solver is not None:
         raise ValueError(
@@ -109,7 +143,8 @@ def _reject_solver_with_precondition(solver):
         )
 
 
-def _solve_preconditioned(spec, objective, certify, solver_kwargs):
+def _solve_preconditioned(spec, objective, certify, solver_kwargs,
+                          refine_to=None):
     """Equilibrated solve in scaled units, results in ORIGINAL units.
 
     Per-asset power-of-two unit rescaling (``solver/precondition.py``)
@@ -125,6 +160,14 @@ def _solve_preconditioned(spec, objective, certify, solver_kwargs):
     compiled_eq = compile_table(eq.table, spec=spec)
     solver = make_solver_compiled(compiled_eq, **solver_kwargs)
     res = solver.solve(eq.objective)
+    if refine_to is not None:
+        return _refined_route(
+            solver, compiled_eq, eq.objective, res, refine_to,
+            cert_space=(
+                compile_table(table, spec=spec), objective,
+                lambda r: unscale_result(r, eq.d, compiled_eq),
+            ),
+        )
     res_host = jax.tree_util.tree_map(np.asarray, res)
     res0 = unscale_result(res_host, eq.d, compiled_eq)
     # re-evaluate the objective in original units (for log atoms the
@@ -148,15 +191,27 @@ def arbitrage(
     solver: Optional[AdmmSolver] = None,
     certify: bool = False,
     precondition: bool = False,
+    refine_to: Optional[float] = None,
     **solver_kwargs,
 ) -> Route:
-    """max market_value @ psi s.t. psi >= 0 (``arbitrage.py:57,77``)."""
+    """max market_value @ psi s.t. psi >= 0 (``arbitrage.py:57,77``).
+
+    ``refine_to``: run device-resident mixed-precision refinement
+    (``solver/refine_device.py``) to the given certified relative gap —
+    the one-call equivalent of ECOS's terminal accuracy behind
+    ``arbitrage.py:82``; the returned Route carries the certificate."""
     obj = Objective.arbitrage(market_values)
+    if solver is None:
+        solver_kwargs = _floor_options(solver_kwargs, refine_to)
     if precondition:
         _reject_solver_with_precondition(solver)
-        return _solve_preconditioned(spec, obj, certify, solver_kwargs)
+        return _solve_preconditioned(spec, obj, certify, solver_kwargs,
+                                     refine_to=refine_to)
     solver = solver or make_solver(spec, **solver_kwargs)
-    return _route_from(solver, solver.solve(obj), obj, certify)
+    res = solver.solve(obj)
+    if refine_to is not None:
+        return _refined_route(solver, solver.compiled, obj, res, refine_to)
+    return _route_from(solver, res, obj, certify)
 
 
 def liquidate(
@@ -166,16 +221,23 @@ def liquidate(
     solver: Optional[AdmmSolver] = None,
     certify: bool = False,
     precondition: bool = False,
+    refine_to: Optional[float] = None,
     **solver_kwargs,
 ) -> Route:
     """Liquidate `holdings` entirely into asset `numeraire`
-    (``liquidation.py:57,77-80``)."""
+    (``liquidation.py:57,77-80``).  ``refine_to``: see :func:`arbitrage`."""
     obj = Objective.liquidation(spec.n_assets, numeraire, holdings)
+    if solver is None:
+        solver_kwargs = _floor_options(solver_kwargs, refine_to)
     if precondition:
         _reject_solver_with_precondition(solver)
-        return _solve_preconditioned(spec, obj, certify, solver_kwargs)
+        return _solve_preconditioned(spec, obj, certify, solver_kwargs,
+                                     refine_to=refine_to)
     solver = solver or make_solver(spec, **solver_kwargs)
-    return _route_from(solver, solver.solve(obj), obj, certify)
+    res = solver.solve(obj)
+    if refine_to is not None:
+        return _refined_route(solver, solver.compiled, obj, res, refine_to)
+    return _route_from(solver, res, obj, certify)
 
 
 def route(
@@ -184,6 +246,7 @@ def route(
     solver: Optional[AdmmSolver] = None,
     certify: bool = False,
     precondition: bool = False,
+    refine_to: Optional[float] = None,
     **solver_kwargs,
 ) -> Route:
     """Generic routing: maximize any :class:`Objective` (linear + box) or
@@ -200,11 +263,17 @@ def route(
     """
     if not isinstance(objective, (Objective, ConcaveUtility)):
         raise TypeError("objective must be an Objective or ConcaveUtility")
+    if solver is None:
+        solver_kwargs = _floor_options(solver_kwargs, refine_to)
     if precondition:
         _reject_solver_with_precondition(solver)
-        return _solve_preconditioned(spec, objective, certify, solver_kwargs)
+        return _solve_preconditioned(spec, objective, certify, solver_kwargs,
+                                     refine_to=refine_to)
     solver = solver or make_solver(spec, **solver_kwargs)
-    return _route_from(solver, solver.solve(objective), objective, certify)
+    res = solver.solve(objective)
+    if refine_to is not None:
+        return _refined_route(solver, solver.compiled, objective, res, refine_to)
+    return _route_from(solver, res, objective, certify)
 
 
 def sweep(

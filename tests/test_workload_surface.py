@@ -179,3 +179,52 @@ def test_refine_strict_raises_on_degraded_cpu_shards():
             compile_spec(spec), obj, res, target_gap=1e-30,
             cpu_shards=10_000, strict=True,
         )
+
+
+def test_api_refine_to_certified_route():
+    """arbitrage(refine_to=1e-7) returns a certificate-carrying Route at
+    the pinned optimum — the one-call ECOS-terminal-accuracy surface."""
+    from cfmm_routing_tpu import api
+    from cfmm_routing_tpu.models.reference_instances import arbitrage_instance
+
+    spec, obj = arbitrage_instance()
+    route = api.arbitrage(spec, obj.c, refine_to=1e-7)
+    assert route.certificate is not None
+    assert route.converged
+    assert abs(route.certificate.gap_rel) <= 1e-7
+    assert abs(route.objective - 21.499805) / 21.499805 < 1e-6
+    # per-pool trades are unbucketed in spec order
+    assert len(route.deltas) == len(spec.pools)
+
+
+def test_api_refine_to_preconditioned():
+    """refine_to composes with precondition=True: refinement runs in
+    equilibrated space, the certificate speaks original units."""
+    from cfmm_routing_tpu import api
+    from cfmm_routing_tpu.models.reference_instances import (
+        liquidation_instance,
+    )
+
+    spec, obj = liquidation_instance()
+    route = api.liquidate(
+        spec, [2, 1, 3, 5, 10], numeraire=4,
+        precondition=True, refine_to=1e-6,
+    )
+    assert route.converged
+    assert abs(route.certificate.gap_rel) <= 1e-6
+    assert abs(route.psi[4] - 15.883010) / 15.883010 < 1e-5
+
+
+def test_cli_refine_to(tmp_path):
+    """solve --refine-to 1e-6 certifies via the device-resident
+    refinement and reports the certificate in the JSON output."""
+    r = _run_cli(["export-reference", "arbitrage"])
+    assert r.returncode == 0, r.stderr
+    path = tmp_path / "arb.json"
+    path.write_text(r.stdout)
+    r2 = _run_cli(["solve", str(path), "--refine-to", "1e-6", "--json"])
+    assert r2.returncode == 0, r2.stderr
+    out = json.loads(r2.stdout)
+    assert abs(out["objective"] - 21.499805) < 1e-4
+    assert abs(out["certificate"]["rel_gap"]) <= 1e-6
+    assert out["converged"] is True
