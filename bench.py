@@ -153,9 +153,15 @@ def main():
         f"{ {n: (b.m, b.width) for n, b in compiled.buckets.items()} }"
     )
 
-    # fixed-iteration mode: eps=0 never converges early
+    # fixed-iteration mode: eps=0 never converges early.  Projection depth
+    # (24,4): measured +28% fused it/s over the conservative (48,6) at an
+    # objective match of 6e-7 relative (knob sweep in BENCH_GRID.md);
+    # terminal accuracy is refine_device's job, not the base root-find's.
+    from cfmm_routing_tpu.ops.projection import ProjectionConfig
+
     opts = AdmmOptions(
-        max_iters=FIXED_ITERS, eps_abs=0.0, eps_rel=0.0, adapt_rho=False
+        max_iters=FIXED_ITERS, eps_abs=0.0, eps_rel=0.0, adapt_rho=False,
+        projection=ProjectionConfig(n_bisect=24, n_polish=4),
     )
     solver = AdmmSolver(compiled, dtype=jnp.float32, options=opts)
 

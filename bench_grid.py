@@ -100,7 +100,15 @@ def run_config(m, n_assets, B, fused):
     # must be 8-sublane aligned (rows < 8 hangs the Mosaic compiler)
     compiled = compile_table(eq.table, pad_pools_to=1024)
     compiled_orig = compile_table(table, pad_pools_to=1024)
-    opts = AdmmOptions(max_iters=10**6, eps_abs=0.0, eps_rel=0.0)
+    from cfmm_routing_tpu.ops.projection import ProjectionConfig
+
+    # (24,4) root-find: measured +28% fused it/s at objective parity; the
+    # device refinement stage owns terminal accuracy (its delta
+    # projections keep the deep default)
+    opts = AdmmOptions(
+        max_iters=10**6, eps_abs=0.0, eps_rel=0.0,
+        projection=ProjectionConfig(n_bisect=24, n_polish=4),
+    )
     solver = AdmmSolver(compiled, dtype=jnp.float32, options=opts)
     drv = ChunkedDriver(solver, chunk=CHUNK, fused=fused)
 

@@ -413,9 +413,14 @@ def refine_device(
             point.prices, psi_claimed=point.psi,
         )
         # the L-BFGS price polish exists to close NEAR-MISS dual looseness;
-        # running it on every far-from-target chunk certificate costs
-        # seconds per pass for nothing (measured: no outcome change)
-        near_miss = cert.gap_rel < 20.0 * target_gap
+        # it only makes sense when the GAP is the blocking criterion —
+        # polishing prices cannot repair primal feasibility, and running
+        # it on every far-from-target certificate costs seconds per pass
+        # for nothing (measured: no outcome change)
+        near_miss = (
+            cert.gap_rel < 20.0 * target_gap
+            and cert.feasibility_rel <= target_gap
+        )
         if polish and not _hit(cert) and cert.gap_abs > 0 and near_miss:
             try:
                 nu_p = polish_prices(
