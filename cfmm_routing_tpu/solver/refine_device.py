@@ -418,7 +418,7 @@ def refine_device(
         # it on every far-from-target certificate costs seconds per pass
         # for nothing (measured: no outcome change)
         near_miss = (
-            cert.gap_rel < 20.0 * target_gap
+            cert.gap_rel < max(20.0 * target_gap, 1e-5)
             and cert.feasibility_rel <= target_gap
         )
         if polish and not _hit(cert) and cert.gap_abs > 0 and near_miss:
