@@ -351,8 +351,8 @@ def main():
         "value matches the true optimum to eps from BOTH sides.",
         "Certification time excluded from the solve clock, reported per pass.",
         "",
-        "The f32 device solve runs to a certified 1e-3, then the",
-        "DEVICE-RESIDENT mixed-precision refinement",
+        "The f32 device solve runs to its floor (stall detection), then",
+        "the DEVICE-RESIDENT mixed-precision refinement",
         "(`solver/refine_device.py`: re-center at the f32 iterate, solve",
         "the scaled correction problem on the SAME chip in f32) closes",
         "the remaining decades — no host f64 ADMM stage.  'total s to",
