@@ -3,16 +3,15 @@
 For each network size this measures, on the real chip:
 
   * the equilibrated f32 on-device solve (per-asset power-of-two unit
-    scaling, solver/precondition.py; fused Pallas chunks) run until the
-    RIGOROUS host certificate — evaluated in ORIGINAL units on the
-    un-scaled problem (solver/certify.py, f64 dual bound valid for any
-    prices) — first reports relative gap <= 1e-3, and then <= 1e-6 with
-    relative feasibility at the same level (the ECOS-parity criterion
-    behind /root/reference/arbitrage.py:82).  Certification time is
-    excluded from the solve clock and reported per pass;
-  * if the f32 device solve stalls before 1e-6, the host f64 refine
-    stage finishes the job (solver/refine.py) — with equilibration this
-    fallback is not normally needed;
+    scaling, solver/precondition.py; fused Pallas chunks) run to its f32
+    floor under the RIGOROUS host certificate — evaluated in ORIGINAL
+    units on the un-scaled problem (solver/certify.py, f64 dual bound
+    valid for any prices; |gap| <= eps AND feas_rel <= eps, the
+    ECOS-parity criterion behind /root/reference/arbitrage.py:82);
+  * then the DEVICE-RESIDENT mixed-precision refinement
+    (solver/refine_device.py) closes the remaining decades to a
+    certified 1e-6 on the same chip — one ~250-iteration correction
+    solve at every measured size;
   * scenario batches: B objective scenarios as ONE vmapped device call
     (replaces the reference's 50-solve Python loop, two-asset.py:40) and
     B per-pool reserve states via solve_batch_reserves (BASELINE
@@ -52,7 +51,7 @@ import numpy as np
 CHUNK = 250
 MAX_ITERS = 12_000
 GAP_LOOSE = 1e-3
-GAP_MID = 1e-5  # the f32 device floor at 100k is ~1e-5 (symmetric |gap|)
+GAP_MID = 1e-5  # handoff-to-refinement threshold (f32 floor neighborhood)
 GAP_TIGHT = 1e-6
 
 
@@ -60,13 +59,15 @@ def _log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
-def _certify_orig(solver, compiled_eq, compiled_orig, obj, d, z, nu, rho, psi):
+def _certify_orig(solver, compiled_eq, compiled_orig, obj, d, z, nu, rho, psi,
+                  timing=None):
     """Project once for exactly-feasible trades (scaled space), un-scale to
     original units, and run the rigorous certificate there.  Returns the
     certificate plus BOTH the original-units and scaled trades (the
     device-refine stage re-centers in scaled space)."""
     from cfmm_routing_tpu.solver.certify import certify
 
+    t0 = time.perf_counter()
     d_ext = np.concatenate([d, [1.0]])
     w_out = {}
     w_scaled = {}
@@ -75,8 +76,11 @@ def _certify_orig(solver, compiled_eq, compiled_orig, obj, d, z, nu, rho, psi):
         zD, zL = z[name]
         D, L = solver._project(name, arrs, zD - nu_e, zL + nu_e)
         ds = d_ext[compiled_eq.buckets[name].asset].T  # (K, m)
-        w_scaled[name] = (np.asarray(D), np.asarray(L))
+        w_scaled[name] = (np.asarray(D), np.asarray(L))  # device->host
         w_out[name] = (np.asarray(D) * ds, np.asarray(L) * ds)
+    if timing is not None:
+        timing["project+transfer"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
     cert = certify(
         compiled_orig, obj,
         {k: v[0] for k, v in w_out.items()},
@@ -84,6 +88,8 @@ def _certify_orig(solver, compiled_eq, compiled_orig, obj, d, z, nu, rho, psi):
         np.asarray(rho * nu, np.float64) / d,
         psi_claimed=np.asarray(psi, np.float64) * d,
     )
+    if timing is not None:
+        timing["certify_f64"] = time.perf_counter() - t0
     return cert, w_out, w_scaled
 
 
@@ -164,13 +170,17 @@ def run_config(m, n_assets, B, fused):
         # grid's first column), then only near the residual floor —
         # mid-trajectory certificates can't fire any exit and cost
         # ~0.3-2.4s/pass at these sizes (but never go >6 chunks blind)
-        if loose is not None and r > 5e-3 and iters - last_cert_at < 6 * CHUNK:
+        if loose is not None and r > 2e-3 and iters - last_cert_at < 6 * CHUNK:
             continue
         last_cert_at = iters
+        timing = {} if iters == CHUNK * 2 else None
         t0 = time.perf_counter()
         cert, w_out, w_scaled = _certify_orig(
-            solver, compiled, compiled_orig, obj, eq.d, z, nu, rho, psi
+            solver, compiled, compiled_orig, obj, eq.d, z, nu, rho, psi,
+            timing=timing,
         )
+        if timing:
+            _log(f"m={m}: cert-pass breakdown {timing}")
         cert_pass = time.perf_counter() - t0
         cert_s += cert_pass
         gap, feas = cert.gap_rel, cert.feasibility_rel
@@ -201,7 +211,7 @@ def run_config(m, n_assets, B, fused):
             since_best = 0
         else:
             since_best += 1
-            if since_best >= 10:
+            if since_best >= 5:
                 _log(f"m={m}: f32 stalled at {score:.1e}; falling back to refine")
                 break
 
