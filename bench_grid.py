@@ -135,6 +135,40 @@ def run_config(m, n_assets, B, fused):
     jax.block_until_ready(nuw)
     _log(f"m={m}: chunk compile {time.perf_counter() - t0:.1f}s")
 
+    # warmup-compile the DELTA refinement program outside the clock too
+    # (same jitted program serves every pass/eps — the delta arrays are
+    # traced arguments; a fresh process otherwise pays the compile
+    # inside refine_s)
+    import dataclasses as _dc
+
+    from cfmm_routing_tpu.solver.refine_device import DeltaAdmmSolver
+
+    dopts = _dc.replace(
+        opts, max_iters=CHUNK, eps_abs=1e-8, eps_rel=1e-8, adapt_rho=False,
+        projection=AdmmOptions().projection,
+    )
+    dsolver = DeltaAdmmSolver(compiled, dtype=jnp.float32, options=dopts)
+    t0 = time.perf_counter()
+    dummy = RouteResult(
+        objective=jnp.zeros(()),
+        psi=np.zeros(solver.n),
+        prices=np.zeros(solver.n),
+        deltas={nm: np.zeros(a["mask"].shape) for nm, a in solver.buckets.items()},
+        lambdas={nm: np.zeros(a["mask"].shape) for nm, a in solver.buckets.items()},
+        iters=np.asarray(0, np.int32), r_norm=np.zeros(()),
+        s_norm=np.zeros(()), converged=np.asarray(False),
+        rho_final=np.asarray(1.0),
+    )
+    from cfmm_routing_tpu.solver.refine_device import _delta_objective
+
+    bdict_w, _ = dsolver.delta_buckets(dummy, 1.0, nu0=np.zeros(solver.n))
+    dres_w = dsolver.solve_delta(
+        _delta_objective(eq.objective, np.zeros(solver.n), 1.0),
+        bdict_w, np.zeros(solver.n), 1.0, 1,
+    )
+    jax.block_until_ready(dres_w.objective)
+    _log(f"m={m}: delta program compile {time.perf_counter() - t0:.1f}s")
+
     solve_s = 0.0
     cert_s = 0.0
     iters = 0
@@ -211,7 +245,11 @@ def run_config(m, n_assets, B, fused):
             since_best = 0
         else:
             since_best += 1
-            if since_best >= 5:
+            # 10, not fewer: a rougher handoff point costs far more in
+            # refinement than the saved certificate passes (measured:
+            # entry at ~8e-5 refines in 250 iterations, at ~1.7e-4 it
+            # takes 2250)
+            if since_best >= 10:
                 _log(f"m={m}: f32 stalled at {score:.1e}; falling back to refine")
                 break
 
@@ -253,6 +291,7 @@ def run_config(m, n_assets, B, fused):
         t0 = time.perf_counter()
         ref = refine_device(
             compiled, eq.objective, res32_scaled, target_gap=GAP_TIGHT,
+            solver=dsolver,
             cert_space=(
                 compiled_orig, obj,
                 lambda r: unscale_result(r, eq.d, compiled),

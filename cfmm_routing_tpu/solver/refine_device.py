@@ -19,11 +19,12 @@ classic iterative refinement run ON DEVICE:
     — same geometry, but the constraint residual is evaluated through
     ``log1p`` of O(eps)-relative quantities with no cancellation, so f32
     carries ~eps * 1e-7 ABSOLUTE precision on the correction.
-3.  Run the SAME consensus-ADMM (identical consensus exchange, prox,
-    residuals, while_loop — ``AdmmSolver`` with only the projection
-    swapped) on the correction problem, warm-started at the base dual
-    nu0 and the base penalty rho: the dual is already converged, only
-    the small primal correction moves.
+3.  Run the SAME consensus-ADMM (identical consensus exchange,
+    residuals, while_loop) on the correction problem at the base
+    penalty rho, with the DUAL RE-CENTERED at the converged base prices
+    (``DeltaAdmmSolver._iterate``: the state dual is dnu = nu - nu0, so
+    no degree-amplified O(d*|nu|) f32 products enter the consensus) —
+    only the small primal correction and the small dual correction move.
 4.  Compose D = D0 + eps*a in f64 on host and certify rigorously
     (``solver/certify.py``).  One pass typically gains ~a factor eps of
     gap; a second pass (re-centered at the refined point, smaller eps)
@@ -209,7 +210,11 @@ class DeltaAdmmSolver(AdmmSolver):
                 nsig = -(s0 - b.k0) / eps  # scaled linear slack target
             arrs = dict(self.buckets[name])  # asset/mask/gamma/w reused
             arrs["w"] = jnp.asarray(b.weights.T, dt)
-            arrs["X0"] = jnp.asarray(np.where(maskT > 0, x0 / eps, 1.0), dt)
+            # lower-bounded: an extreme eps must not underflow X0 to 0
+            # (it divides the constraint argument u = v / X0)
+            arrs["X0"] = jnp.asarray(
+                np.where(maskT > 0, np.maximum(x0 / eps, 1e-30), 1.0), dt
+            )
             arrs["aD"] = jnp.asarray(-D0 / eps, dt)
             arrs["aL"] = jnp.asarray(-L0 / eps, dt)
             arrs["sS"] = jnp.asarray(b.shift.T / eps, dt)
