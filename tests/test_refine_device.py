@@ -215,3 +215,44 @@ def test_refine_device_cert_space_original_units():
     assert out.achieved
     assert abs(out.certificate.gap_rel) <= 1e-6
     assert out.certificate.feasibility_rel <= 1e-6
+
+
+def test_refine_device_quadratic_and_power_atoms():
+    """The remaining atom transforms (quad: c-a*psi0 / a*eps; power:
+    c*eps^{p-1} / shifted b) must refine exactly like log atoms."""
+    spec, obj = arbitrage_instance()
+    n = spec.n_assets
+    util = ConcaveUtility.linear(obj.c, lo=np.zeros(n))
+    util = util.with_quadratic(1, c=float(obj.c[1]), a=0.5)
+    util = util.with_power(3, c=float(obj.c[3]), p=0.5, b=1.0)
+    solver = AdmmSolver(
+        compile_spec(spec), dtype=jnp.float32,
+        options=AdmmOptions(max_iters=8000, eps_abs=1e-7, eps_rel=1e-7),
+    )
+    res = solver.solve(util)
+    out = refine_device(solver.compiled, util, res, target_gap=1e-6)
+    assert out.achieved
+    assert abs(out.certificate.gap_rel) <= 1e-6
+    assert out.certificate.feasibility_rel <= 1e-6
+    # cross-check the refined value against the scipy oracle
+    from cfmm_routing_tpu.oracle import oracle_solve
+
+    truth = oracle_solve(spec, util).objective
+    assert abs(out.certificate.objective - truth) <= 1e-5 * max(1, abs(truth))
+
+
+def test_refine_device_already_certified_is_noop():
+    """A point that already certifies returns iters=0 without building
+    any device program."""
+    spec, obj = arbitrage_instance()
+    solver = AdmmSolver(
+        compile_spec(spec), dtype=jnp.float32,
+        options=AdmmOptions(max_iters=6000, eps_abs=1e-7, eps_rel=1e-7),
+    )
+    res = solver.solve(obj)
+    first = refine_device(solver.compiled, obj, res, target_gap=1e-6)
+    assert first.achieved
+    again = refine_device(
+        solver.compiled, obj, first.result, target_gap=1e-6
+    )
+    assert again.achieved and again.iters == 0
