@@ -175,12 +175,19 @@ def run_config(m, n_assets, B, fused):
     loose = None  # (iters, solve_s) at first certified 1e-3
     mid = None  # at first certified 1e-5
     tight = None  # at first certified 1e-6
-    best_gap = float("inf")
-    since_best = 0
     cert = None
     w_out = None
     w_scaled = None
     last_cert_at = 0
+    # floor detection rides the FREE per-chunk residuals, not certificate
+    # passes (0.5-2.8s each here — device->host transfer over the remote
+    # tunnel dominates).  A certificate then CONFIRMS the handoff
+    # quality: an entry worse than ~3e-4 costs far more refinement than
+    # further base chunks (measured: ~8e-5 entry refines in 250
+    # iterations, ~3e-4 fails to certify), so a bad confirm resumes the
+    # base solve.
+    r_min = float("inf")
+    r_stall = 0
     while iters < MAX_ITERS:
         t0 = time.perf_counter()
         z, nu, r2, s2, w2, z2, u2, psi, objv = drv._chunk_jit(
@@ -200,14 +207,21 @@ def run_config(m, n_assets, B, fused):
                 rho, nu = rho * 2.0, nu / 2.0
             elif s > 3.0 * r:
                 rho, nu = rho / 2.0, nu * 2.0
-        # certificate cadence: every chunk until 1e-3 is certified (the
-        # grid's first column), then only near the residual floor —
-        # mid-trajectory certificates can't fire any exit and cost
-        # ~0.3-2.4s/pass at these sizes (but never go >6 chunks blind)
-        if loose is not None and r > 2e-3 and iters - last_cert_at < 6 * CHUNK:
+        if r < 0.9 * r_min:
+            r_stall = 0
+        else:
+            r_stall += 1
+        r_min = min(r_min, r)
+        floor_suspect = loose is not None and r_stall >= 6
+        do_cert = (
+            (loose is None and r < 0.5)
+            or floor_suspect
+            or iters - last_cert_at >= 10 * CHUNK
+        )
+        if not do_cert:
             continue
         last_cert_at = iters
-        timing = {} if iters == CHUNK * 2 else None
+        timing = {} if cert is None else None
         t0 = time.perf_counter()
         cert, w_out, w_scaled = _certify_orig(
             solver, compiled, compiled_orig, obj, eq.d, z, nu, rho, psi,
@@ -232,26 +246,15 @@ def run_config(m, n_assets, B, fused):
         if score <= GAP_TIGHT:
             tight = (iters, solve_s)
             break
-        if mid is not None:
-            # certified 1e-5 (the f32 fused loop's floor neighborhood):
-            # hand the last decade to the DEVICE-RESIDENT delta
-            # refinement (solver/refine_device.py) — refinement lifts
-            # the f32 noise floor but converges at ADMM's usual rate, so
-            # the fast fused iterator should do all the bulk convergence
-            _log(f"m={m}: 1e-5 certified on-device; switching to refine_device")
+        if floor_suspect and score <= 3e-4:
+            _log(f"m={m}: f32 floor at {score:.1e}; handing to refine_device")
             break
-        if score < 0.7 * best_gap:
-            best_gap = score
-            since_best = 0
-        else:
-            since_best += 1
-            # 10, not fewer: a rougher handoff point costs far more in
-            # refinement than the saved certificate passes (measured:
-            # entry at ~8e-5 refines in 250 iterations, at ~1.7e-4 it
-            # takes 2250)
-            if since_best >= 10:
-                _log(f"m={m}: f32 stalled at {score:.1e}; falling back to refine")
-                break
+        if floor_suspect:
+            _log(
+                f"m={m}: residual plateau at score {score:.1e} not yet "
+                "refinable; continuing the base solve"
+            )
+            r_stall = 0
 
     row = dict(
         m=m, n_assets=n_assets, B=1, equilibrated=True,

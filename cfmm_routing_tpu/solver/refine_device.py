@@ -527,6 +527,11 @@ def refine_device(
         # dual re-centered at nu0 (see DeltaAdmmSolver._iterate).
         dwarm = None
         improved = False
+        # the chunked delta trajectory is relative to THIS pass's center;
+        # composing against the rolling best instead would double-count
+        # the accepted correction on every later chunk (measured: chunks
+        # 2..8 regressed to entry quality at 1k pools)
+        center = cur
         for _c in range(int(chunks_per_pass)):
             dres = solver.solve_delta(
                 dobj, bdict, nu0f, rho, chunk_iters, warm=dwarm
@@ -539,9 +544,14 @@ def refine_device(
                 else None
             )
             cand = _compose(
-                compiled, cur, dwarm, eps, objective, prices=prices_true
+                compiled, center, dwarm, eps, objective, prices=prices_true
             )
             cand_cert = _cert(cand)
+            _LOG.debug(
+                "refine chunk: r=%.2e s=%.2e gap=%.2e feas=%.2e (eps=%.3g rho=%.3g)",
+                float(dwarm.r_norm), float(dwarm.s_norm),
+                cand_cert.gap_rel, cand_cert.feasibility_rel, eps, rho,
+            )
             if (
                 max(cand_cert.feasibility_rel, abs(cand_cert.gap_rel))
                 < max(cert.feasibility_rel, abs(cert.gap_rel))
