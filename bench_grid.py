@@ -212,7 +212,10 @@ def run_config(m, n_assets, B, fused):
         else:
             r_stall += 1
         r_min = min(r_min, r)
-        floor_suspect = loose is not None and r_stall >= 6
+        # 12 flat chunks, not fewer: base chunks cost ~0.05-0.16s while a
+        # rougher handoff costs thousands of refinement iterations
+        # (measured: entry ~8e-5 -> 250, ~1.2e-4 -> 2000)
+        floor_suspect = loose is not None and r_stall >= 12
         do_cert = (
             (loose is None and r < 0.5)
             or floor_suspect
