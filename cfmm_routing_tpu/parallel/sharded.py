@@ -32,11 +32,16 @@ from ..models.utility import ConcaveUtility, CustomUtility, Objective
 from ..solver.admm import AdmmOptions, AdmmSolver, RouteResult
 from ..solver.compiler import CompiledProblem, ProblemSpec, compile_spec
 
-__all__ = ["ShardedAdmmSolver"]
+__all__ = ["ShardedAdmmSolver", "ShardedDeltaAdmmSolver"]
 
 
 class ShardedAdmmSolver:
     """ADMM with pools partitioned across a device mesh.
+
+    ``_inner_cls`` is the per-device solver class — the default
+    :class:`AdmmSolver`, or :class:`DeltaAdmmSolver` in
+    :class:`ShardedDeltaAdmmSolver` (multi-chip mixed-precision
+    refinement).
 
     Compiles one SPMD program: each device owns m/D pools of every bucket,
     runs projections locally, and participates in two psums per iteration.
@@ -49,6 +54,8 @@ class ShardedAdmmSolver:
     CPU tests) or ``1024 * n_shards`` (compiled tiles must be 8-sublane
     aligned — see ops/iteration_pallas.py).
     """
+
+    _inner_cls = AdmmSolver
 
     def __init__(
         self,
@@ -90,7 +97,7 @@ class ShardedAdmmSolver:
             if shard_assets
             else None
         )
-        self.inner = AdmmSolver(
+        self.inner = self._inner_cls(
             compiled, dtype=dtype, options=options, axis_name="pools",
             consensus_prox=consensus_prox,
         )
@@ -625,3 +632,118 @@ class ShardedAdmmSolver:
 
     def unbucket(self, result: RouteResult):
         return self.inner.unbucket(result)
+
+
+class ShardedDeltaAdmmSolver(ShardedAdmmSolver):
+    """Pool-sharded correction solves: multi-chip mixed-precision
+    refinement.
+
+    Duck-types :class:`~cfmm_routing_tpu.solver.refine_device.DeltaAdmmSolver`'s
+    ``delta_buckets`` / ``solve_delta`` surface, so
+    :func:`~cfmm_routing_tpu.solver.refine_device.refine_device` runs its
+    correction solves across the pools mesh unchanged —
+    ``refine_device(..., solver=ShardedDeltaAdmmSolver(spec, mesh, ...))``.
+    Each device projects its local pool shard onto the SHIFTED trading
+    sets (``ops/projection_delta.py``); the delta-dual consensus is the
+    usual one n-vector psum per iteration.  Configure options like the
+    single-device delta solver (eps ~1e-8, adapt_rho=False).
+    """
+
+    @property
+    def _inner_cls(self):
+        from ..solver.refine_device import DeltaAdmmSolver
+
+        return DeltaAdmmSolver
+
+    def delta_buckets(self, base: RouteResult, eps: float, nu0=None):
+        """Host-side delta arrays (globally shaped; jit + shard_map place
+        the shards).  Same contract as DeltaAdmmSolver.delta_buckets."""
+        return self.inner.delta_buckets(base, eps, nu0=nu0)
+
+    def _delta_specs(self, bdict):
+        per_pool = P("pools")
+        per_plane = P(None, "pools")
+        return {
+            name: {
+                k: (per_pool if getattr(arr, "ndim", 2) == 1 else per_plane)
+                for k, arr in b.items()
+            }
+            for name, b in bdict.items()
+        }
+
+    def solve_delta(
+        self,
+        objective,
+        bdict,
+        nu0,
+        rho: float,
+        max_iters: int,
+        warm: Optional[RouteResult] = None,
+    ) -> RouteResult:
+        """One sharded correction solve (same semantics as
+        DeltaAdmmSolver.solve_delta: linear objectives run the delta-dual
+        iteration with dnu state and e0 riding the c slot)."""
+        util = None
+        if isinstance(objective, ConcaveUtility):
+            util = objective.pack(self.dtype)
+            c, lo, hi = util.c, util.lo, util.hi
+            start_nu = np.asarray(nu0, np.float64)
+        else:
+            e0 = np.asarray(objective.c, np.float64) / float(rho) - np.asarray(
+                nu0, np.float64
+            )
+            c = jnp.asarray(e0, self.dtype)
+            fmax = np.finfo(np.float32).max / 4
+            lo = jnp.asarray(np.maximum(objective.lo, -fmax), self.dtype)
+            hi = jnp.asarray(np.minimum(objective.hi, fmax), self.dtype)
+            start_nu = np.zeros_like(np.asarray(nu0, np.float64))
+        has_nu0e = any("nu0e" in b for b in bdict.values())
+        key = ("delta", util is not None, warm is not None, has_nu0e)
+        prog = self._progs.get(key)
+        if prog is None:
+            specs = self._delta_specs(bdict)
+            base = (specs, P(), P(), P(), P(), P())
+            if util is not None and warm is not None:
+                def _s(buckets, c_, lo_, hi_, rho_, mi, z0, nu0_, util_):
+                    return self.inner._solve_impl(
+                        c_, lo_, hi_, rho_, z0=z0, nu0=nu0_, util=util_,
+                        buckets=buckets, max_iters=mi,
+                    )
+
+                in_specs = base + (self._z_specs, P(), P())
+            elif util is not None:
+                def _s(buckets, c_, lo_, hi_, rho_, mi, nu0_, util_):
+                    return self.inner._solve_impl(
+                        c_, lo_, hi_, rho_, nu0=nu0_, util=util_,
+                        buckets=buckets, max_iters=mi,
+                    )
+
+                in_specs = base + (P(), P())
+            elif warm is not None:
+                def _s(buckets, c_, lo_, hi_, rho_, mi, z0, nu0_):
+                    return self.inner._solve_impl(
+                        c_, lo_, hi_, rho_, z0=z0, nu0=nu0_,
+                        buckets=buckets, max_iters=mi,
+                    )
+
+                in_specs = base + (self._z_specs, P())
+            else:
+                def _s(buckets, c_, lo_, hi_, rho_, mi, nu0_):
+                    return self.inner._solve_impl(
+                        c_, lo_, hi_, rho_, nu0=nu0_, buckets=buckets,
+                        max_iters=mi,
+                    )
+
+                in_specs = base + (P(),)
+            prog = self._shard(_s, in_specs, self._result_specs)
+            self._progs[key] = prog
+        mi = jnp.asarray(int(max_iters), jnp.int32)
+        args = (bdict, c, lo, hi, jnp.asarray(rho, self.dtype), mi)
+        if warm is not None:
+            z0, nu0_arr = self.inner.warm_state(warm, rho)
+            args = args + (z0, nu0_arr)
+        else:
+            args = args + (jnp.asarray(start_nu, self.dtype),)
+        if util is not None:
+            args = args + (util,)
+        return prog(*args)

@@ -256,3 +256,70 @@ def test_refine_device_already_certified_is_noop():
         solver.compiled, obj, first.result, target_gap=1e-6
     )
     assert again.achieved and again.iters == 0
+
+
+@pytest.mark.parametrize("eps", [0.01, 7.3])
+def test_gm_delta_projection_eps_scaling(eps):
+    """At scale eps, the delta set is S_1/eps (elementwise), so
+    Proj_{S_eps}(p, q) = (Proj_T(eps*p + D0, eps*q + L0) - (D0, L0))/eps
+    — pins the eps-scaling algebra of the re-parametrization."""
+    rng = np.random.default_rng(5)
+    K, m = 3, 16
+    R, w, s, gamma, logk0, k0, mask, D0, L0 = _random_gm_base(
+        rng, K, m, needs_floor=False
+    )
+    p = rng.uniform(-1.0, 1.0, (K, m))
+    q = rng.uniform(-1.0, 1.0, (K, m))
+    D_ref, L_ref = project_gm(
+        eps * p + D0, eps * q + L0, R, w, s, gamma, logk0, k0, mask, cfg=CFG
+    )
+    x0 = R + s + gamma[None, :] * D0 - L0
+    nsig = logk0 - np.sum(w * np.log(x0), axis=0)
+    a, b = project_gm_delta(
+        p, q, x0 / eps, w, s / eps, gamma, nsig, -D0 / eps, -L0 / eps, mask,
+        cfg=CFG,
+    )
+    np.testing.assert_allclose(
+        np.asarray(a), (np.asarray(D_ref) - D0) / eps, atol=5e-7 / eps, rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(b), (np.asarray(L_ref) - L0) / eps, atol=5e-7 / eps, rtol=1e-9
+    )
+
+
+def test_refine_device_sharded_delta_solver():
+    """Multi-chip refinement: refine_device with a ShardedDeltaAdmmSolver
+    runs its correction solves across the pools mesh and certifies like
+    the single-device path."""
+    import dataclasses
+
+    from cfmm_routing_tpu.parallel.mesh import pool_mesh
+    from cfmm_routing_tpu.parallel.sharded import ShardedDeltaAdmmSolver
+    from cfmm_routing_tpu.utils.synth import random_arbitrage as _ra
+
+    spec, obj = _ra(12, 32, seed=9)
+    base_opts = AdmmOptions(max_iters=6000, eps_abs=1e-7, eps_rel=1e-7)
+    from cfmm_routing_tpu.solver.compiler import compile_spec as _cs
+
+    compiled = _cs(spec, pad_pools_to=4)
+    solver = AdmmSolver(compiled, dtype=jnp.float32, options=base_opts)
+    res = solver.solve(obj)
+
+    mesh = pool_mesh(4, platform="cpu")
+    dopts = dataclasses.replace(
+        base_opts, max_iters=250, eps_abs=1e-8, eps_rel=1e-8, adapt_rho=False
+    )
+    dsolver = ShardedDeltaAdmmSolver(
+        compiled, mesh, dtype=jnp.float32, options=dopts
+    )
+    out = refine_device(
+        compiled, obj, res, target_gap=1e-7, solver=dsolver
+    )
+    assert out.achieved
+    assert abs(out.certificate.gap_rel) <= 1e-7
+    assert out.certificate.feasibility_rel <= 1e-7
+    # matches the single-device refinement to f64-certificate accuracy
+    out1 = refine_device(compiled, obj, res, target_gap=1e-7)
+    assert abs(out.certificate.objective - out1.certificate.objective) <= (
+        1e-6 * max(1.0, abs(out1.certificate.objective))
+    )
