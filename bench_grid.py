@@ -249,6 +249,12 @@ def run_config(m, n_assets, B, fused):
         if score <= GAP_TIGHT:
             tight = (iters, solve_s)
             break
+        if loose is not None and score <= 1.2e-4:
+            # already in the high-quality handoff band — refinement from
+            # here takes ~250 iterations; waiting for the residual
+            # plateau only burns more certificate passes
+            _log(f"m={m}: score {score:.1e} refinable; handing to refine_device")
+            break
         if floor_suspect and score <= 3e-4:
             _log(f"m={m}: f32 floor at {score:.1e}; handing to refine_device")
             break
