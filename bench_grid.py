@@ -131,7 +131,9 @@ def run_config(m, n_assets, B, fused):
     # warmup-compile the chunk program outside the clock
     _log(f"m={m}: compiling chunk program (fused={fused})...")
     t0 = time.perf_counter()
-    zw, nuw, *_ = drv._chunk_jit(z, nu, rho, c, lo, hi, None)
+    zw, nuw, _r2w, _s2w, _w2w, _z2w, _u2w, psi_w, _objw = drv._chunk_jit(
+        z, nu, rho, c, lo, hi, None
+    )
     jax.block_until_ready(nuw)
     _log(f"m={m}: chunk compile {time.perf_counter() - t0:.1f}s")
 
@@ -168,6 +170,13 @@ def run_config(m, n_assets, B, fused):
     )
     jax.block_until_ready(dres_w.objective)
     _log(f"m={m}: delta program compile {time.perf_counter() - t0:.1f}s")
+
+    # warm the certificate pass too: its device side (classic projection
+    # + transfers) is a separate program from the fused chunk and would
+    # otherwise pay its compile inside the first in-loop pass
+    t0 = time.perf_counter()
+    _certify_orig(solver, compiled, compiled_orig, obj, eq.d, z, nu, rho, psi_w)
+    _log(f"m={m}: certificate path warm {time.perf_counter() - t0:.1f}s")
 
     solve_s = 0.0
     cert_s = 0.0
@@ -405,14 +414,16 @@ def main():
         "RIGOROUS f64 host certificate evaluated in ORIGINAL units between",
         "250-iteration chunks (gap = dual bound valid for any prices;",
         "feasibility relative to trade magnitudes — the ECOS-parity",
-        "criterion behind `/root/reference/arbitrage.py:82`).  The gap",
-        "criterion is SYMMETRIC (|gap| <= eps): a negative gap means the",
-        "residual infeasibility inflated the candidate's value past the",
-        "dual bound, and |gap| bounds that overshoot — so the certified",
-        "value matches the true optimum to eps from BOTH sides.",
-        "Certification time excluded from the solve clock, reported per pass.",
+        "criterion behind `/root/reference/arbitrage.py:82`).  The exit",
+        "criterion is |gap| <= eps AND feas_rel <= eps.  Rigorous",
+        "guarantee: OPT - objective <= max(gap, 0) (dual bound,",
+        "one-sided); a negative gap means residual infeasibility inflated",
+        "the candidate's value past the dual bound, and the feasibility",
+        "gate controls that overshoot — which is why both conditions are",
+        "required.  Certification time is excluded from the solve clock",
+        "and fully accounted in the end-to-end column.",
         "",
-        "The f32 device solve runs to its floor (stall detection), then",
+        "The f32 device solve runs to its floor (residual plateau), then",
         "the DEVICE-RESIDENT mixed-precision refinement",
         "(`solver/refine_device.py`: re-center at the f32 iterate, solve",
         "the scaled correction problem on the SAME chip in f32) closes",
