@@ -81,7 +81,10 @@ _LANES = 128
 # of the one-hots for the scatter-side dot_general, double-buffered I/O
 # tiles, root-find spills) — a (32,128)-tile K=2 step modeled at 5.6 MB
 # compiled to a 16.78 MB scoped allocation and OOMed the 100k-pool bench.
-_VMEM_BUDGET = 4 << 20
+_VMEM_BUDGET = 4 << 20  # at its wall: a 6 MB budget compiles to a 16.8 MB
+#                          Mosaic scoped allocation (the ~3x multiplier is
+#                          precise) and OOMs the 16 MB limit — measured on
+#                          hardware, round 4
 
 
 def _pick_tile_rows(rows: int, K: int, H: int, require8: bool = False) -> int:
