@@ -51,7 +51,6 @@ import numpy as np
 CHUNK = 250
 MAX_ITERS = 12_000
 GAP_LOOSE = 1e-3
-GAP_MID = 1e-5  # handoff-to-refinement threshold (f32 floor neighborhood)
 GAP_TIGHT = 1e-6
 
 
@@ -182,7 +181,6 @@ def run_config(m, n_assets, B, fused):
     cert_s = 0.0
     iters = 0
     loose = None  # (iters, solve_s) at first certified 1e-3
-    mid = None  # at first certified 1e-5
     tight = None  # at first certified 1e-6
     cert = None
     w_out = None
@@ -253,8 +251,6 @@ def run_config(m, n_assets, B, fused):
         score = max(abs(gap), feas)
         if loose is None and score <= GAP_LOOSE:
             loose = (iters, solve_s)
-        if mid is None and score <= GAP_MID:
-            mid = (iters, solve_s)
         if score <= GAP_TIGHT:
             tight = (iters, solve_s)
             break
@@ -278,8 +274,6 @@ def run_config(m, n_assets, B, fused):
         m=m, n_assets=n_assets, B=1, equilibrated=True,
         iters_to_1e3=(loose[0] if loose else None),
         solve_s_to_1e3=(round(loose[1], 3) if loose else None),
-        iters_to_1e5=(mid[0] if mid else None),
-        solve_s_to_1e5=(round(mid[1], 3) if mid else None),
         iters_to_1e6=(tight[0] if tight else None),
         solve_s_to_1e6=(round(tight[1], 3) if tight else None),
         device_iters=iters, device_solve_s=round(solve_s, 3),
@@ -432,8 +426,8 @@ def main():
         "internal f64 certificates); 'end-to-end' adds the solve-loop",
         "certificate passes.",
         "",
-        "| pools | assets | solve s to 1e-3 | solve s to 1e-5 | **total s to 1e-6** | **end-to-end s (incl cert)** | refine s (device iters) | cert s/pass | final gap / feas |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| pools | assets | solve s to 1e-3 | **total s to 1e-6** | **end-to-end s (incl cert)** | refine s (device iters) | cert s/pass | final gap / feas |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in all_rows:
         if r.get("B", 1) == 1:
@@ -441,15 +435,12 @@ def main():
                 total = f"{r['solve_s_to_1e6']} (on-device)"
             else:
                 total = str(round(r["device_solve_s"] + r["refine_s"], 3))
-            mid_s = (
-                r["solve_s_to_1e5"] if r["solve_s_to_1e5"] is not None else "-"
-            )
             e2e = round(
                 r["device_solve_s"] + r["refine_s"] + r["certify_s_total"], 3
             )
             lines.append(
                 f"| {r['m']:,} | {r['n_assets']} | {r['solve_s_to_1e3']} | "
-                f"{mid_s} | **{total}** | **{e2e}** | "
+                f"**{total}** | **{e2e}** | "
                 f"{r['refine_s']} ({r['refine_iters']}) | "
                 f"{r['certify_s_per_pass']} | "
                 f"{r['gap']:.1e} / {r['feas_rel']:.1e} |"
