@@ -283,6 +283,7 @@ def sweep(
     amounts: Sequence[float],
     solver: Optional[AdmmSolver] = None,
     certify: bool = False,
+    refine_to: Optional[float] = None,
     **solver_kwargs,
 ) -> Sweep:
     """Trade-size sweep: u(t) = max psi[receive] s.t. psi >= -t e_give.
@@ -299,6 +300,8 @@ def sweep(
     shape-cached across points), so even 1024-point sweeps certify in
     seconds.
     """
+    if solver is None:
+        solver_kwargs = _floor_options(solver_kwargs, refine_to)
     solver = solver or make_solver(spec, **solver_kwargs)
     n = spec.n_assets
     amounts = np.asarray(amounts, np.float64)
@@ -324,15 +327,59 @@ def sweep(
     net = per_pool
 
     prices = np.asarray(res.prices)
+    utilities = np.asarray(res.objective, np.float64).copy()
     certs = None
-    if certify:
+    if certify or refine_to is not None:
+        from .solver.admm import RouteResult as _RR
         from .solver.certify import certify as _certify
 
         hi_inf = np.full(n, np.inf)
         psi_b = np.asarray(res.psi)
+        dsolver = None
         certs = []
         for t in range(T):
             obj_t = Objective(c[t], lo=lo[t], hi=hi_inf)
+            if refine_to is not None:
+                # per-point device refinement: every point of the
+                # frontier gets the same certified terminal accuracy the
+                # single solves get (ECOS certifies each of the
+                # reference's 50 serial solves — two-asset.py:91)
+                from .solver.refine_device import DeltaAdmmSolver, refine_device
+
+                if dsolver is None:
+                    dsolver = DeltaAdmmSolver(
+                        solver.compiled, dtype=jnp.float32,
+                        options=dataclasses.replace(
+                            solver.options, max_iters=250,
+                            eps_abs=1e-8, eps_rel=1e-8, adapt_rho=False,
+                        ),
+                    )
+                point = _RR(
+                    objective=res.objective[t],
+                    psi=psi_b[t], prices=prices[t],
+                    deltas={k: v[t] for k, v in dbat.items()},
+                    lambdas={k: v[t] for k, v in lbat.items()},
+                    iters=np.asarray(res.iters)[t],
+                    r_norm=np.asarray(res.r_norm)[t],
+                    s_norm=np.asarray(res.s_norm)[t],
+                    converged=np.asarray(res.converged)[t],
+                    rho_final=np.asarray(res.rho_final)[t],
+                )
+                out_t = refine_device(
+                    solver.compiled, obj_t, point, target_gap=refine_to,
+                    solver=dsolver,
+                )
+                certs.append(out_t.certificate)
+                utilities[t] = float(out_t.certificate.objective)
+                rp = out_t.result
+                for name, b in solver.compiled.buckets.items():
+                    for r, pid in enumerate(b.pool_ids):
+                        k = int(solver.compiled.widths[pid])
+                        per_pool[pid][:, t] = (
+                            np.asarray(rp.lambdas[name])[:k, r]
+                            - np.asarray(rp.deltas[name])[:k, r]
+                        )
+                continue
             certs.append(
                 _certify(
                     solver.compiled,
@@ -346,7 +393,7 @@ def sweep(
 
     return Sweep(
         amounts=amounts,
-        utilities=np.asarray(res.objective),
+        utilities=utilities,
         net_trades=net,
         iters=np.asarray(res.iters),
         converged=np.asarray(res.converged),

@@ -228,3 +228,21 @@ def test_cli_refine_to(tmp_path):
     assert abs(out["objective"] - 21.499805) < 1e-4
     assert abs(out["certificate"]["rel_gap"]) <= 1e-6
     assert out["converged"] is True
+
+
+def test_sweep_refine_to_certifies_every_point():
+    """sweep(refine_to=...): every frontier point gets a certified gap
+    (the reference's 50 serial ECOS solves each certify — here one
+    batched solve + per-point device refinement)."""
+    spec, _ = two_asset_instance()
+    sw = api.sweep(
+        spec, 0, 2, np.linspace(0.0, 25.0, 4), refine_to=1e-6,
+    )
+    assert sw.certificates is not None and len(sw.certificates) == 4
+    for cert in sw.certificates:
+        assert abs(cert.gap_rel) <= 1e-6
+        assert cert.feasibility_rel <= 1e-6
+    # the refined frontier still matches the pinned u(25)
+    np.testing.assert_allclose(sw.utilities[-1], 31.005495, rtol=1e-5)
+    # frontier stays nondecreasing after refinement
+    assert np.all(np.diff(sw.utilities) > -1e-6)
