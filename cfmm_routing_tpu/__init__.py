@@ -45,6 +45,11 @@ from .solver.precondition import (  # noqa: F401
 )
 from .solver.refine import RefineResult, refine  # noqa: F401
 from .solver.refine_device import DeltaAdmmSolver, refine_device  # noqa: F401
+from .parallel.mesh import pool_batch_mesh, pool_mesh  # noqa: F401
+from .parallel.sharded import (  # noqa: F401
+    ShardedAdmmSolver,
+    ShardedDeltaAdmmSolver,
+)
 
 __version__ = "0.1.0"
 
@@ -77,6 +82,10 @@ __all__ = [
     "refine",
     "refine_device",
     "DeltaAdmmSolver",
+    "ShardedAdmmSolver",
+    "ShardedDeltaAdmmSolver",
+    "pool_mesh",
+    "pool_batch_mesh",
     "unscale_result",
     "__version__",
 ]
