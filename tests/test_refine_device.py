@@ -323,3 +323,21 @@ def test_refine_device_sharded_delta_solver():
     assert abs(out.certificate.objective - out1.certificate.objective) <= (
         1e-6 * max(1.0, abs(out1.certificate.objective))
     )
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23, 24])
+def test_refine_device_fuzz_mixed_networks(seed):
+    """Fuzz: random mixed networks (product / weighted / bounded-v3 /
+    constant-sum pools, hub-biased topology) must refine to a certified
+    1e-6 from their f32 floor."""
+    spec, obj = random_arbitrage(10, 28, seed=seed)
+    solver = AdmmSolver(
+        compile_spec(spec), dtype=jnp.float32,
+        options=AdmmOptions(max_iters=8000, eps_abs=1e-7, eps_rel=1e-7),
+    )
+    res = solver.solve(obj)
+    out = refine_device(solver.compiled, obj, res, target_gap=1e-6)
+    assert out.achieved, (
+        f"seed {seed}: gap {out.certificate.gap_rel:.2e} "
+        f"feas {out.certificate.feasibility_rel:.2e}"
+    )
