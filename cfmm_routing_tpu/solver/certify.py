@@ -47,7 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.utility import ConcaveUtility, Objective
-from .compiler import Bucket, CompiledProblem
+from .compiler import CompiledProblem
 
 __all__ = [
     "Certificate",

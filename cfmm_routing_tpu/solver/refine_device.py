@@ -49,7 +49,7 @@ import numpy as np
 from ..models.utility import ConcaveUtility, Objective
 from ..ops.projection_delta import project_cs_delta, project_gm_delta
 from .admm import AdmmOptions, AdmmSolver, RouteResult
-from .certify import Certificate, certify, polish_prices
+from .certify import certify, polish_prices
 from .compiler import CompiledProblem
 from .refine import RefineResult
 
