@@ -479,7 +479,11 @@ def main():
         "built and measured 10x slower in round 3 (Mosaic scoped-stack",
         "blowup; see commit history).  Warm-starting the per-pool",
         "root-find multiplier was therefore NOT implemented: its ceiling",
-        "is the (12,4) row at full accuracy, under +16%.",
+        "is the (12,4) row at full accuracy, under +16%.  Merging the",
+        "pure-gm and floored-gm buckets (one fewer kernel launch per",
+        "iteration) was measured NET NEGATIVE: 2286 vs 2315 it/s — the",
+        "floor-clamp arithmetic on the dominant 74k-pool bucket outweighs",
+        "the saved launch.",
     ]
     with open("BENCH_GRID.md", "w") as f:
         f.write("\n".join(lines) + "\n")
