@@ -746,4 +746,16 @@ class ShardedDeltaAdmmSolver(ShardedAdmmSolver):
             args = args + (jnp.asarray(start_nu, self.dtype),)
         if util is not None:
             args = args + (util,)
-        return prog(*args)
+        out = prog(*args)
+        if jax.process_count() > 1:
+            # the refinement driver composes/certifies on HOST from the
+            # GLOBAL trades; pool-sharded leaves span non-addressable
+            # devices in a multi-process mesh, so gather them here (the
+            # per-pass correction arrays are host-built global anyway)
+            from jax.experimental import multihost_utils
+
+            out = jax.tree_util.tree_map(
+                lambda x: multihost_utils.process_allgather(x, tiled=True),
+                out,
+            )
+        return out

@@ -289,9 +289,11 @@ def _gm_bound(nu_s, R, w, s, gamma, logk0, mask, want_grad=False):
 
     The bound is valid for EVERY inner multiplier eta >= 0; the jitted
     f64 search (log-bisection + safeguarded Newton on the piecewise
-    linear h(log eta)) only controls tightness.  Runs on the CPU backend
-    under a scoped x64 context — f64 never reaches a TPU."""
-    with jax.default_device(jax.devices("cpu")[0]):
+    linear h(log eta)) only controls tightness.  Runs on THIS PROCESS's
+    CPU device under a scoped x64 context — f64 never reaches a TPU, and
+    in a multi-process mesh jax.devices() would hand back another
+    process's (non-addressable) device."""
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
         with jax.enable_x64():
             out = _gm_bound_jit(
                 jnp.asarray(nu_s, jnp.float64),

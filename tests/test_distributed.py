@@ -37,12 +37,40 @@ mesh = pool_mesh()  # all 4 global devices (2 local per process)
 assert mesh.devices.size == 4, mesh.devices
 solver = ShardedAdmmSolver(
     spec, mesh, dtype=jnp.float32,
-    options=AdmmOptions(max_iters=6000, eps_abs=2e-6, eps_rel=2e-6),
+    options=AdmmOptions(max_iters=12000, eps_abs=1e-7, eps_rel=1e-7),
 )
 res = solver.solve(obj)
 v = float(res.objective)  # replicated output: readable on every process
 assert abs(v - 21.499805) / 21.499805 < 5e-4, v
-print(f"[{{pid}}] DIST-SMOKE-PASS {{v}}", flush=True)
+
+# sharded mixed-precision refinement across the SAME 2-process mesh:
+# every process runs the identical SPMD correction solves; the host-side
+# f64 certificates are deterministic, so the refined value replicates
+import dataclasses
+import jax.tree_util as jtu
+import numpy as _np
+from jax.experimental import multihost_utils
+from cfmm_routing_tpu.parallel.sharded import ShardedDeltaAdmmSolver
+from cfmm_routing_tpu.solver.refine_device import refine_device
+# pool-sharded trades span non-addressable devices in a multi-process
+# mesh; gather the GLOBAL arrays onto every process for the host-side
+# re-centering (refine_device's delta_buckets works on global arrays)
+host = jtu.tree_map(
+    lambda x: _np.asarray(multihost_utils.process_allgather(x, tiled=True)),
+    res,
+)
+dsolver = ShardedDeltaAdmmSolver(
+    solver.compiled, mesh, dtype=jnp.float32,
+    options=dataclasses.replace(
+        solver.inner.options, max_iters=250, eps_abs=1e-8, eps_rel=1e-8,
+        adapt_rho=False,
+    ),
+)
+out = refine_device(solver.compiled, obj, host, target_gap=1e-6, solver=dsolver)
+assert out.achieved, (out.certificate.gap_rel, out.certificate.feasibility_rel)
+vr = float(out.certificate.objective)
+assert abs(vr - 21.499805) / 21.499805 < 1e-5, vr
+print(f"[{{pid}}] DIST-SMOKE-PASS {{v}} REFINED {{vr}}", flush=True)
 """
 
 
@@ -77,7 +105,7 @@ def test_two_process_distributed_solve(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=240)
+        out, _ = p.communicate(timeout=540)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
