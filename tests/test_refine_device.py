@@ -341,3 +341,32 @@ def test_refine_device_fuzz_mixed_networks(seed):
         f"seed {seed}: gap {out.certificate.gap_rel:.2e} "
         f"feas {out.certificate.feasibility_rel:.2e}"
     )
+
+
+def test_refine_device_infeasible_terminates_gracefully():
+    """An infeasible problem must not hang or crash the refinement: the
+    loop runs its bounded passes and returns achieved=False (the
+    infeasibility certificate lives in solver/certify.py /
+    driver.py, not here)."""
+    from cfmm_routing_tpu.models.pools import ProductPool
+    from cfmm_routing_tpu.solver.compiler import ProblemSpec
+
+    spec = ProblemSpec(
+        n_assets=2, pools=[ProductPool((0, 1), [10.0, 10.0], fee=0.997)]
+    )
+    obj = Objective(
+        c=np.array([0.0, 1.0]),
+        lo=np.array([-10.0, 25.0]),  # demands > pool reserve: infeasible
+        hi=np.array([np.inf, np.inf]),
+    )
+    solver = AdmmSolver(
+        compile_spec(spec), dtype=jnp.float32,
+        options=AdmmOptions(max_iters=500),
+    )
+    res = solver.solve(obj)
+    out = refine_device(
+        solver.compiled, obj, res, target_gap=1e-6,
+        max_passes=2, chunks_per_pass=2,
+    )
+    assert out.achieved is False
+    assert out.certificate is not None
