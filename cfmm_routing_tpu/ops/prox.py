@@ -40,6 +40,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "psi_prox", "PackedUtility", "utility_prox", "utility_value", "custom_prox",
+    "DeltaUtility", "delta_utility_prox",
 ]
 
 _POWER_BISECT_ITERS = 42
@@ -206,6 +207,79 @@ def custom_prox(s, degree, custom, lo, hi, rho):
     mu = (psi - s) / (2.0 * d_safe)
     mu = jnp.where(degree > 0, mu, 0.0)
     return psi, mu
+
+
+class DeltaUtility(NamedTuple):
+    """Delta-space separable utility for the RE-CENTERED consensus prox
+    (``solver/refine_device.py``): the shift+scale-transformed atoms of
+    :func:`~cfmm_routing_tpu.solver.refine_device._delta_objective` plus
+    the per-asset fold constant
+
+        e0u := U'_delta(0) - p0      (f64-computed, small at interior
+                                      optima; O(1) only where the box
+                                      clip dominates anyway)
+
+    with p0 = rho * nu0 the f32-exact base prices.  Power atoms have no
+    cancellation-free closed form here — problems containing them take
+    the classic full-dual fallback instead (DeltaAdmmSolver._iterate).
+    """
+
+    kind: jax.Array  # int32 transformed atom codes (no 3/power entries)
+    c: jax.Array
+    a: jax.Array
+    b: jax.Array
+    p: jax.Array  # zeros; present so utility_value works on the pytree
+    lo: jax.Array
+    hi: jax.Array
+    e0u: jax.Array
+
+
+def delta_utility_prox(dnu, yhat, degree, du: DeltaUtility, rho):
+    """Re-centered separable-concave consensus prox: solve per asset
+
+        U'_delta(d) - U'_delta(0) = w (d - yhat) + q0,
+        q0 := rho * dnu - e0u,   w := rho / (2 deg),
+
+    entirely in SMALL quantities (the classic prox's  s = yhat - 2*deg*nu
+    carries a deg-amplified O(deg*|nu|) f32 product — the noise floor the
+    delta solve exists to remove; see DeltaAdmmSolver._iterate).  Atom
+    solves:
+
+        linear  U' const:          d = yhat - q0 / w
+        quad    U' = c' - a' d:    d = (w yhat - q0) / (w + a')
+        log     U' = c'/(b' + d):  the in-domain (d > -b') root of
+                w d^2 + [w b' + c'/b' + (q0 - w yhat)] d + b'(q0 - w yhat) = 0
+                — the LARGER root (the quadratic is -c' < 0 at d = -b',
+                so exactly one root lies in-domain), taken with the
+                cancellation-safe branch.
+
+    Returns (d_clipped, dmu) with dmu = dnu + (d - yhat) / (2 deg), the
+    next DELTA dual — same contract shape as :func:`utility_prox` in
+    delta coordinates.
+    """
+    d_safe = jnp.maximum(degree, 1.0)
+    w = rho / (2.0 * d_safe)
+    q0 = rho * dnu - du.e0u
+    t = w * yhat - q0  # the common RHS pivot
+
+    kind, c, a, b = du.kind, du.c, du.a, du.b
+    d_lin = t / w
+    d_quad = t / (w + a)
+    b_safe = jnp.maximum(b, jnp.finfo(yhat.dtype).tiny)
+    B = w * b_safe + c / b_safe - t
+    C = -b_safe * t
+    disc = jnp.sqrt(jnp.maximum(B * B - 4.0 * w * C, 0.0))
+    d_log = jnp.where(
+        B > 0.0,
+        -2.0 * C / (B + disc),  # larger root, cancellation-safe when B>0
+        (-B + disc) / (2.0 * w),
+    )
+    d_out = jnp.where(kind == 0, d_lin, jnp.where(kind == 1, d_quad, d_log))
+    d_out = jnp.clip(d_out, du.lo, du.hi)
+    d_out = jnp.where(degree > 0, d_out, 0.0)
+    dmu = dnu + (d_out - yhat) / (2.0 * d_safe)
+    dmu = jnp.where(degree > 0, dmu, 0.0)
+    return d_out, dmu
 
 
 def utility_value(util: PackedUtility, psi):

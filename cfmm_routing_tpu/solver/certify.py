@@ -153,11 +153,12 @@ def _util_repair_prices(util: ConcaveUtility, nu: np.ndarray) -> np.ndarray:
     return np.maximum(nu, 0.0)
 
 
-def _util_support(util: ConcaveUtility, nu: np.ndarray) -> float:
-    """sup_{lo<=psi<=hi} U(psi) - nu^T psi with nu pre-repaired.
-
-    1-D concavity per asset: the constrained maximizer is the clipped
-    stationary point (closed form for every atom)."""
+def _util_support_grad(util: ConcaveUtility, nu: np.ndarray):
+    """(sup_{lo<=psi<=hi} U(psi) - nu^T psi,  its maximizer psi*) with nu
+    pre-repaired.  1-D concavity per asset: the constrained maximizer is
+    the clipped stationary point (closed form for every atom); by
+    Danskin, d(sup)/d(nu_j) = -psi*_j — the gradient the utility price
+    polish rides."""
     kind, c, a, b, p = util.kind, util.c, util.a, util.b, util.p
     lo, hi = util.lo, util.hi
     is_lin = (kind == 0) | ((kind == 1) & (a <= 0))
@@ -166,10 +167,11 @@ def _util_support(util: ConcaveUtility, nu: np.ndarray) -> float:
     d = c - nu
     lo_f = np.where(np.isfinite(lo), lo, 0.0)
     hi_f = np.where(np.isfinite(hi), hi, 0.0)
-    lin_val = np.maximum(
-        np.where(np.isfinite(lo), d * lo_f, -np.inf),
-        np.where(np.isfinite(hi), d * hi_f, -np.inf),
-    )
+    take_lo = np.where(np.isfinite(lo), d * lo_f, -np.inf)
+    take_hi = np.where(np.isfinite(hi), d * hi_f, -np.inf)
+    lin_val = np.maximum(take_lo, take_hi)
+    lin_psi = np.where(take_lo >= take_hi, lo_f, hi_f)
+    lin_psi = np.where(np.isfinite(lin_val), lin_psi, 0.0)
     lin_val = np.where(np.isfinite(lin_val), lin_val, 0.0)
 
     # curved atoms: stationary point, then clip into the box
@@ -188,7 +190,13 @@ def _util_support(util: ConcaveUtility, nu: np.ndarray) -> float:
     psi_eval = np.where(is_lin, 0.0, psi_star)  # keep lin assets off the eval
     curved_val = util.value_vec(psi_eval) - nu * psi_eval
 
-    return float(np.sum(np.where(is_lin, lin_val, curved_val)))
+    val = float(np.sum(np.where(is_lin, lin_val, curved_val)))
+    psi_at = np.where(is_lin, lin_psi, psi_eval)
+    return val, psi_at
+
+
+def _util_support(util: ConcaveUtility, nu: np.ndarray) -> float:
+    return _util_support_grad(util, nu)[0]
 
 
 def _repair_prices(
@@ -337,24 +345,29 @@ def _cs_bound(nu_s, R, gamma, q, mask, want_grad=False):
     return bound, grad
 
 
-def _dual_value_and_grad(compiled, c, lo, hi, nu):
-    """g(nu) = box support + sum of pool supports, with its subgradient.
+def _dual_value_and_grad(compiled, c, lo, hi, nu, util=None):
+    """g(nu) = utility/box support + sum of pool supports, with its
+    subgradient.
 
-    grad g = psi_box*(nu) + sum_i (pool i's net-trade response at nu) —
+    grad g = -psi*(nu) + sum_i (pool i's net-trade response at nu) —
     the market's excess supply at prices nu; g is convex and minimized
     where the market clears.  Any nu in the repair box gives a VALID
     bound, so a minimizer only ever tightens the certificate."""
     n = compiled.n_assets
-    d = c - nu
-    lo_f = np.where(np.isfinite(lo), lo, 0.0)
-    hi_f = np.where(np.isfinite(hi), hi, 0.0)
-    take_lo = np.where(np.isfinite(lo), d * lo_f, -np.inf)
-    take_hi = np.where(np.isfinite(hi), d * hi_f, -np.inf)
-    psi_box = np.where(take_lo >= take_hi, lo_f, hi_f)
-    val = np.maximum(take_lo, take_hi)
-    psi_box = np.where(np.isfinite(val), psi_box, 0.0)
-    g_val = float(np.sum(np.where(np.isfinite(val), val, 0.0)))
-    grad = -psi_box.copy()
+    if util is not None:
+        g_val, psi_at = _util_support_grad(util, nu)
+        grad = -psi_at.copy()
+    else:
+        d = c - nu
+        lo_f = np.where(np.isfinite(lo), lo, 0.0)
+        hi_f = np.where(np.isfinite(hi), hi, 0.0)
+        take_lo = np.where(np.isfinite(lo), d * lo_f, -np.inf)
+        take_hi = np.where(np.isfinite(hi), d * hi_f, -np.inf)
+        psi_box = np.where(take_lo >= take_hi, lo_f, hi_f)
+        val = np.maximum(take_lo, take_hi)
+        psi_box = np.where(np.isfinite(val), psi_box, 0.0)
+        g_val = float(np.sum(np.where(np.isfinite(val), val, 0.0)))
+        grad = -psi_box.copy()
 
     nu_ext = np.concatenate([nu, [0.0]])
     acc = np.zeros(n + 1)
@@ -385,31 +398,45 @@ def polish_prices(
     """Tighten the dual bound by minimizing g(nu) from ``nu0`` (L-BFGS-B).
 
     Returns whichever prices give the LOWER bound — rigor is free because
-    every repaired nu >= 0 yields a valid bound.  Linear objectives only
-    (the grid/bench path); other utility types return ``nu0`` unchanged.
+    every repaired nu >= 0 yields a valid bound.  Covers linear
+    Objectives AND separable ConcaveUtility (their conjugate and its
+    Danskin gradient are closed-form, ``_util_support_grad``); custom
+    utilities return ``nu0`` unchanged.
     """
-    if not isinstance(objective, Objective) or isinstance(
-        objective, ConcaveUtility
-    ):
+    util = objective if isinstance(objective, ConcaveUtility) else None
+    if util is None and not isinstance(objective, Objective):
         return np.asarray(nu0, np.float64)
     try:
         from scipy.optimize import minimize
     except Exception:
         return np.asarray(nu0, np.float64)
-    c = np.asarray(objective.c, np.float64)
     lo = np.asarray(objective.lo, np.float64)
     hi = np.asarray(objective.hi, np.float64)
-    # the repair box keeps the box support finite: nu >= c where hi=inf,
-    # nu <= c where lo=-inf, nu == c where both, nu >= 0 always
-    lb = np.where(np.isfinite(hi), 0.0, c)
-    ub = np.where(np.isfinite(lo), np.inf, c)
+    if util is not None:
+        # finiteness box for the separable conjugate: linear-behaving
+        # atoms anchor to c (as below); curved atoms with hi=inf need
+        # nu > 0 only (U' -> 0 for log/power; any nu for strict quad)
+        c = np.asarray(util.c, np.float64)
+        is_lin = (util.kind == 0) | ((util.kind == 1) & (util.a <= 0))
+        lb = np.where(is_lin & ~np.isfinite(hi), c, 0.0)
+        ub = np.where(is_lin & ~np.isfinite(lo), c, np.inf)
+        curved = ~is_lin
+        lb = np.where(curved & ~np.isfinite(hi), 1e-12, lb)
+        x0 = _util_repair_prices(util, np.asarray(nu0, np.float64))
+    else:
+        c = np.asarray(objective.c, np.float64)
+        # the repair box keeps the box support finite: nu >= c where
+        # hi=inf, nu <= c where lo=-inf, nu == c where both, nu >= 0
+        lb = np.where(np.isfinite(hi), 0.0, c)
+        ub = np.where(np.isfinite(lo), np.inf, c)
+        x0 = _repair_prices(np.asarray(nu0, np.float64), c, lo, hi)
     lb = np.maximum(lb, 0.0)
     ub = np.maximum(ub, lb)
-    x0 = np.clip(_repair_prices(np.asarray(nu0, np.float64), c, lo, hi), lb, ub)
+    x0 = np.clip(x0, lb, ub)
 
-    g0, _ = _dual_value_and_grad(compiled, c, lo, hi, x0)
+    g0, _ = _dual_value_and_grad(compiled, c, lo, hi, x0, util=util)
     res = minimize(
-        lambda x: _dual_value_and_grad(compiled, c, lo, hi, x),
+        lambda x: _dual_value_and_grad(compiled, c, lo, hi, x, util=util),
         x0,
         jac=True,
         method="L-BFGS-B",
@@ -418,7 +445,7 @@ def polish_prices(
     )
     if np.all(np.isfinite(res.x)):
         xr = np.clip(res.x, lb, ub)
-        g1, _ = _dual_value_and_grad(compiled, c, lo, hi, xr)
+        g1, _ = _dual_value_and_grad(compiled, c, lo, hi, xr, util=util)
         if g1 < g0:
             return xr
     return x0

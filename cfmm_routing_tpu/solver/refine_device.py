@@ -103,7 +103,14 @@ class DeltaAdmmSolver(AdmmSolver):
         atom-wise re-centering has no closed form); their refinement
         floor keeps the d-amplified term.
         """
-        if util is not None or custom is not None:
+        from ..ops.prox import DeltaUtility, delta_utility_prox
+
+        if custom is not None or (
+            util is not None and not isinstance(util, DeltaUtility)
+        ):
+            # power atoms (no cancellation-free closed-form re-centering)
+            # and custom utilities take the classic full-dual iteration —
+            # their refinement floor keeps the d-amplified term
             return super()._iterate(
                 z, nu, rho, c, lo, hi, util=util, buckets=buckets,
                 custom=custom, with_stats=with_stats,
@@ -126,12 +133,16 @@ class DeltaAdmmSolver(AdmmSolver):
             yhat = yhat + self._reduce_edges(hL - hD, name, buckets)
 
         yhat = self._psum(yhat)
-        d_safe = jnp.maximum(self.degree, 1.0)
-        psi = yhat + 2.0 * d_safe * (c - nu)  # c == e0, nu == dnu: all small
-        psi = jnp.clip(psi, lo, hi)
-        psi = jnp.where(self.degree > 0, psi, 0.0)
-        dmu = nu + (psi - yhat) / (2.0 * d_safe)
-        dmu = jnp.where(self.degree > 0, dmu, 0.0)
+        if util is None:
+            d_safe = jnp.maximum(self.degree, 1.0)
+            psi = yhat + 2.0 * d_safe * (c - nu)  # c == e0, nu == dnu: small
+            psi = jnp.clip(psi, lo, hi)
+            psi = jnp.where(self.degree > 0, psi, 0.0)
+            dmu = nu + (psi - yhat) / (2.0 * d_safe)
+            dmu = jnp.where(self.degree > 0, dmu, 0.0)
+        else:
+            # precise re-centered separable prox (linear/quad/log atoms)
+            psi, dmu = delta_utility_prox(nu, yhat, self.degree, util, rho)
 
         z_new = {}
         w_out = {}
@@ -245,9 +256,31 @@ class DeltaAdmmSolver(AdmmSolver):
         """
         util = None
         if isinstance(objective, ConcaveUtility):
-            util = objective.pack(self.dtype)
-            c, lo, hi = util.c, util.lo, util.hi
-            start_nu = np.asarray(nu0, np.float64)
+            from ..ops.prox import DeltaUtility
+
+            pack = objective.pack(self.dtype)
+            c, lo, hi = pack.c, pack.lo, pack.hi
+            if _delta_precise(objective):
+                # precise re-centered path: dual state is dnu, the fold
+                # constant e0u = U'_delta(0) - rho*nu0 rides the utility
+                k = np.asarray(objective.kind)
+                up0 = np.where(
+                    k == 2,
+                    np.asarray(objective.c, np.float64)
+                    / np.maximum(np.asarray(objective.b, np.float64), 1e-300),
+                    np.asarray(objective.c, np.float64),
+                )
+                e0u = up0 - float(rho) * np.asarray(nu0, np.float64)
+                util = DeltaUtility(
+                    kind=pack.kind, c=pack.c, a=pack.a, b=pack.b,
+                    p=jnp.zeros_like(pack.p), lo=pack.lo, hi=pack.hi,
+                    e0u=jnp.asarray(e0u, self.dtype),
+                )
+                c = jnp.zeros_like(pack.c)
+                start_nu = np.zeros_like(np.asarray(nu0, np.float64))
+            else:
+                util = pack  # power atoms: classic full-dual fallback
+                start_nu = np.asarray(nu0, np.float64)
         else:
             e0 = np.asarray(objective.c, np.float64) / float(rho) - np.asarray(
                 nu0, np.float64
@@ -266,6 +299,15 @@ class DeltaAdmmSolver(AdmmSolver):
             c, lo, hi, jnp.asarray(rho, self.dtype), z0, nu0_arr, util,
             bdict, max_iters=jnp.asarray(int(max_iters), jnp.int32),
         )
+
+
+def _delta_precise(objective) -> bool:
+    """Whether the re-centered (delta-dual) iteration covers this
+    objective: linear Objectives and ConcaveUtility without power atoms
+    (power has no cancellation-free closed-form re-centering)."""
+    if not isinstance(objective, ConcaveUtility):
+        return True
+    return not bool(np.any(np.asarray(objective.kind) == 3))
 
 
 def _delta_objective(objective, psi0: np.ndarray, eps: float):
@@ -489,18 +531,25 @@ def refine_device(
         # a little of the precision gain, under-sizing costs nothing but
         # larger scaled iterates (f32 range is not a constraint)
         eps = float(np.clip(eps_factor * err * scale, 1e-10 * scale, np.inf))
+        # the delta solve starts from z=0 and owes nothing to the base
+        # penalty; a collapsed base rho is actively harmful — nu0 =
+        # prices/rho blows up to O(1/rho), and the delta-dual design's
+        # f32 noise scales with |nu0| (measured: base rho 0.002 -> nu0
+        # O(500) -> a 2e-5 gap floor).  Iteration count is insensitive
+        # over [0.25, 4] (knob sweep), so clamp into that band.
         rho = float(np.asarray(cur.rho_final)) if rho0 is None else float(rho0)
-        linear = not isinstance(objective, ConcaveUtility)
+        rho = float(np.clip(rho, 0.25, 4.0))
+        precise = _delta_precise(objective)
         # f32-round nu0 ONCE and use the identical values in the nu0e
-        # planes, in e0, and in the price reconstruction — consistency of
-        # the re-centering constant is what makes the fold exact
+        # planes, in e0/e0u, and in the price reconstruction — consistency
+        # of the re-centering constant is what makes the fold exact
         nu0f = (
             (np.asarray(cur.prices, np.float64) / rho)
             .astype(np.float32)
             .astype(np.float64)
         )
         bdict, min_x0 = solver.delta_buckets(
-            cur, eps, nu0=nu0f if linear else None
+            cur, eps, nu0=nu0f if precise else None
         )
         if not (min_x0 > 0.0) or not np.isfinite(min_x0):
             _LOG.warning(
@@ -540,7 +589,7 @@ def refine_device(
             total += int(np.asarray(dwarm.iters))
             prices_true = (
                 rho * nu0f + np.asarray(dwarm.prices, np.float64)
-                if linear
+                if precise
                 else None
             )
             cand = _compose(
