@@ -14,6 +14,7 @@ diagnostics; `certify=True` adds an f64 host-side certification report
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import List, Optional, Sequence
 
 import jax.numpy as jnp
@@ -28,6 +29,8 @@ from .solver.compiler import PoolTable, ProblemSpec, compile_spec, compile_table
 __all__ = [
     "Route", "Sweep", "arbitrage", "liquidate", "sweep", "route", "make_solver",
 ]
+
+_LOG = logging.getLogger("cfmm_routing_tpu.api")
 
 
 @dataclasses.dataclass
@@ -122,8 +125,16 @@ def _floor_options(solver_kwargs, refine_to):
     """Refinement lifts the f32 noise floor but converges at ADMM's usual
     rate — it needs a base iterate AT the floor, not a rough one.  When
     the caller asked for a certified gap without tuning the solver, run
-    the base solve to residual 1e-7 (its f32 floor neighborhood)."""
+    the base solve to residual 1e-7 (its f32 floor neighborhood) and SAY
+    SO: on an ill-conditioned network this is a 20k-iteration budget the
+    user never chose explicitly."""
     if refine_to is not None and "options" not in solver_kwargs:
+        _LOG.info(
+            "refine_to=%g with no explicit options: running the base solve "
+            "to its f32 floor (max_iters=20000, eps=1e-7) — pass "
+            "options=AdmmOptions(...) to choose the base budget yourself",
+            refine_to,
+        )
         solver_kwargs = dict(
             solver_kwargs,
             options=AdmmOptions(max_iters=20_000, eps_abs=1e-7, eps_rel=1e-7),
@@ -326,8 +337,10 @@ def sweep(
             per_pool[pid] = (lbat[name][:, :k, r] - dbat[name][:, :k, r]).T
     net = per_pool
 
-    prices = np.asarray(res.prices)
+    prices = np.array(res.prices)
     utilities = np.asarray(res.objective, np.float64).copy()
+    iters_arr = np.array(res.iters)
+    conv_arr = np.array(res.converged)
     certs = None
     if certify or refine_to is not None:
         from .solver.admm import RouteResult as _RR
@@ -372,6 +385,13 @@ def sweep(
                 certs.append(out_t.certificate)
                 utilities[t] = float(out_t.certificate.objective)
                 rp = out_t.result
+                # the whole grid point is replaced by the refined result —
+                # prices/iters/converged must come from it too, or the
+                # returned Sweep mixes refined trades with the unrefined
+                # batch solve's duals (round-4 advisor finding)
+                prices[t] = np.asarray(rp.prices)
+                iters_arr[t] = iters_arr[t] + out_t.iters
+                conv_arr[t] = bool(out_t.achieved)
                 for name, b in solver.compiled.buckets.items():
                     for r, pid in enumerate(b.pool_ids):
                         k = int(solver.compiled.widths[pid])
@@ -395,8 +415,8 @@ def sweep(
         amounts=amounts,
         utilities=utilities,
         net_trades=net,
-        iters=np.asarray(res.iters),
-        converged=np.asarray(res.converged),
+        iters=iters_arr,
+        converged=conv_arr,
         prices=prices,
         certificates=certs,
     )

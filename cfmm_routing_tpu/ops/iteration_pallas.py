@@ -65,6 +65,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .projection import ProjectionConfig
+from .projection_delta import (
+    _ab_from_theta,
+    _inner_gm_delta,
+    _solve_theta_linear_delta,
+)
 from .projection_pallas import (
     _eval_cs_channels,
     _eval_gm_channels,
@@ -72,7 +77,7 @@ from .projection_pallas import (
     _relu,
 )
 
-__all__ = ["fused_step"]
+__all__ = ["fused_step", "fused_step_delta"]
 
 _LANES = 128
 # Target VMEM footprint per grid step.  The scoped limit is 16 MB, but the
@@ -87,7 +92,9 @@ _VMEM_BUDGET = 4 << 20  # at its wall: a 6 MB budget compiles to a 16.8 MB
 #                          hardware, round 4
 
 
-def _pick_tile_rows(rows: int, K: int, H: int, require8: bool = False) -> int:
+def _pick_tile_rows(
+    rows: int, K: int, H: int, require8: bool = False, temps: int = 24
+) -> int:
     """Largest legal sublane tile under the VMEM budget.
 
     Legality (Mosaic): the block's sublane extent must be a multiple of 8
@@ -99,11 +106,13 @@ def _pick_tile_rows(rows: int, K: int, H: int, require8: bool = False) -> int:
 
     Budget model per tile row (128 slots), per channel: radix one-hots +
     M temp (128 + 2*He)*128*4 bytes with He = max(H, 8) (sublane
-    padding), plus ~24 (tr,128) f32 temporaries per channel for in/out
-    tiles and the root-find, plus slack.
+    padding), plus ``temps`` (tr,128) f32 temporaries per channel for
+    in/out tiles and the root-find (24 for the classic kernel; the delta
+    kernel carries 3 more input planes and a wider root-find state and
+    books 40), plus slack.
     """
     He = max(H, 8)
-    per_row = 128 * 4 * (K * (128 + 2 * He) + 24 * K + 8)
+    per_row = 128 * 4 * (K * (128 + 2 * He) + temps * K + 8)
     cap = max(1, _VMEM_BUDGET // per_row)
     for t in range(min(cap, rows), 0, -1):
         if rows % t == 0 and (t % 8 == 0 or (t == rows and not require8)):
@@ -310,3 +319,281 @@ def fused_step(
     L = jnp.stack([out[3 * K + c].reshape(m) for c in range(K)])
     y = out[4 * K].reshape(n_pad)
     return sDn, sLn, D, L, y
+
+
+# ---- fused DELTA iteration: projection onto SHIFTED trading sets ----------
+# The refinement stage (solver/refine_device.py) used to run on the classic
+# XLA path only (~44% of the fused throughput at 100k pools — the round-4
+# headline's single largest cost).  These kernels run the SAME fused
+# iteration against the re-centered sets of ops/projection_delta.py: the
+# deferred-broadcast identity z = s +/- wdef_e is unchanged (the base-dual
+# plane nu0e enters only the projection input, never the z-update), so the
+# only kernel differences are (i) three extra per-channel planes (X0, aD,
+# aL replace R; sS is the scaled shift), (ii) the constant nu0e offset on
+# the projection input, and (iii) the log1p/linear delta constraint with
+# target nsig.
+
+
+def _eval_gm_delta_channels(mu, ch, gamma, needs_floor):
+    """Delta geo-mean channel evaluation (projection_delta._eval_gm_delta
+    unrolled over slot channels; all (rows, 128) blocks)."""
+    h = None
+    As, Bs = [], []
+    for (p, q, X0, w, sS, aD, aL, mask) in ch:
+        t = mu * w
+        xi, theta = _inner_gm_delta(p, q, X0, gamma, t, aD, aL)
+        if needs_floor:
+            clamped = xi < sS
+            thf = _solve_theta_linear_delta(p, q, X0, gamma, sS, aD, aL)
+            theta = jnp.where(clamped, jnp.maximum(thf, theta), theta)
+        a, b = _ab_from_theta(p, q, gamma, theta, aD, aL)
+        a = a * mask
+        b = b * mask
+        v = gamma * a - b
+        u = v / X0
+        term = w * jnp.log1p(jnp.maximum(u, jnp.float32(-0.999999))) * mask
+        h = term if h is None else h + term
+        As.append(a)
+        Bs.append(b)
+    return As, Bs, h
+
+
+def _eval_cs_delta_channels(mu, ch, gamma):
+    """Delta (weighted) constant-sum channels: theta = mu * q_j, reserve
+    floor X0 + v >= 0 clamped in closed form (projection_delta
+    ``_eval_cs_delta``)."""
+    h = None
+    As, Bs = [], []
+    for (p, q, X0, w, sS, aD, aL, mask) in ch:
+        theta = mu * w
+        a, b = _ab_from_theta(p, q, gamma, theta, aD, aL)
+        clamped = (X0 + gamma * a - b) < 0.0
+        thf = _solve_theta_linear_delta(
+            p, q, X0, gamma, jnp.zeros_like(X0), aD, aL
+        )
+        theta = jnp.where(clamped, jnp.maximum(thf, theta), theta)
+        a, b = _ab_from_theta(p, q, gamma, theta, aD, aL)
+        a = a * mask
+        b = b * mask
+        term = w * (gamma * a - b) * mask
+        h = term if h is None else h + term
+        As.append(a)
+        Bs.append(b)
+    return As, Bs, h
+
+
+def _gm_delta_bracket_ch(ch, gamma, nsig):
+    """Channel form of projection_delta._gm_delta_bracket."""
+    margin = jnp.float32(1e-3)
+    vfac = jnp.expm1(_relu(nsig))
+    mu_hi = None
+    for (p, q, X0, w, sS, aD, aL, mask) in ch:
+        vreq = X0 * vfac + margin
+        th_v = (vreq + aL - gamma * p) / (gamma * gamma)
+        th_req = _relu(jnp.maximum(q - aL, th_v)) + margin
+        a_at = jnp.maximum(p + gamma * th_req, aD)
+        M = X0 + gamma * jnp.abs(a_at) + jnp.abs(aL) + 1.0
+        t_req = 2.0 * th_req * M
+        w_safe = jnp.where(mask > 0, w, 1.0)
+        cand = jnp.where(mask > 0, t_req / w_safe, 0.0)
+        mu_hi = cand if mu_hi is None else jnp.maximum(mu_hi, cand)
+    return mu_hi + 1.0
+
+
+def _cs_delta_bracket_ch(ch, gamma, nsig):
+    margin = jnp.float32(1e-3)
+    mu_hi = None
+    for (p, q, X0, w, sS, aD, aL, mask) in ch:
+        w_safe = jnp.where(mask > 0, w, 1.0)
+        vreq = _relu(nsig) / w_safe + margin
+        th_v = (vreq + aL - gamma * p) / (gamma * gamma)
+        th_req = _relu(jnp.maximum(q - aL, th_v)) + margin
+        cand = jnp.where(mask > 0, th_req / w_safe, 0.0)
+        mu_hi = cand if mu_hi is None else jnp.maximum(mu_hi, cand)
+    return mu_hi + 1.0
+
+
+def _fused_delta_kernel(K, kind, needs_floor, cfg, alpha, H, refs):
+    """refs in: sD_c[K], sL_c[K], ids_c[K], X0_c[K], w_c[K], sS_c[K],
+    aD_c[K], aL_c[K], mask_c[K], nu0e_c[K], gamma, nsig, v2d(H,128)
+    out: sD'_c[K], sL'_c[K], A_c[K], B_c[K], y2d(H,128)"""
+    nin = 10 * K + 3
+    ins, outs = refs[:nin], refs[nin:]
+    sD = [ins[c][:] for c in range(K)]
+    sL = [ins[K + c][:] for c in range(K)]
+    IDS = [ins[2 * K + c][:] for c in range(K)]
+    X0 = [ins[3 * K + c][:] for c in range(K)]
+    W = [ins[4 * K + c][:] for c in range(K)]
+    SS = [ins[5 * K + c][:] for c in range(K)]
+    AD = [ins[6 * K + c][:] for c in range(K)]
+    AL = [ins[7 * K + c][:] for c in range(K)]
+    M = [ins[8 * K + c][:] for c in range(K)]
+    NU0E = [ins[9 * K + c][:] for c in range(K)]
+    gamma = ins[10 * K][:]
+    nsig = ins[10 * K + 1][:]
+    v2d = ins[10 * K + 2][:]
+
+    rows, lanes = sD[0].shape
+    T = rows * lanes
+    a_rel = jnp.float32(alpha)
+
+    radix = []
+    P, Q = [], []
+    for c in range(K):
+        ids_row = IDS[c].reshape(1, T)
+        lo_row = jax.lax.rem(ids_row, jnp.int32(_LANES))
+        hi_row = jax.lax.div(ids_row, jnp.int32(_LANES))
+        oh_lo = (
+            jax.lax.broadcasted_iota(jnp.int32, (_LANES, T), 0) == lo_row
+        ).astype(jnp.float32)
+        oh_hi = (
+            jax.lax.broadcasted_iota(jnp.int32, (H, T), 0) == hi_row
+        ).astype(jnp.float32)
+        radix.append((oh_lo, oh_hi))
+        Mrow = jax.lax.dot_general(
+            v2d, oh_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        ve = jnp.sum(oh_hi * Mrow, axis=0, keepdims=True)
+        ve = ve.reshape(rows, lanes) * M[c]
+        # projection input: zD - (nu0e + dnu_e) = sD + (wdef - dnu)_e - nu0e
+        # (nu0e is pre-masked at build; see refine_device.delta_buckets)
+        off = ve - NU0E[c]
+        P.append(sD[c] + off)
+        Q.append(sL[c] - off)
+
+    ch = [
+        (P[c], Q[c], X0[c], W[c], SS[c], AD[c], AL[c], M[c]) for c in range(K)
+    ]
+    if kind == "gm":
+        mu_hi = _gm_delta_bracket_ch(ch, gamma, nsig)
+
+        def h_of_mu(mu):
+            return _eval_gm_delta_channels(mu, ch, gamma, needs_floor)[2]
+
+        mu = _root_find_body(h_of_mu, mu_hi, nsig, cfg)
+        As, Bs, _ = _eval_gm_delta_channels(mu, ch, gamma, needs_floor)
+    else:
+        mu_hi = _cs_delta_bracket_ch(ch, gamma, nsig)
+
+        def h_of_mu(mu):
+            return _eval_cs_delta_channels(mu, ch, gamma)[2]
+
+        mu = _root_find_body(h_of_mu, mu_hi, nsig, cfg)
+        As, Bs, _ = _eval_cs_delta_channels(mu, ch, gamma)
+
+    y_ref = outs[4 * K]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    y_acc = jnp.zeros((H, _LANES), jnp.float32)
+    for c in range(K):
+        A, B = As[c], Bs[c]
+        outs[c][:] = a_rel * A + (1.0 - a_rel) * sD[c]
+        outs[K + c][:] = a_rel * B + (1.0 - a_rel) * sL[c]
+        outs[2 * K + c][:] = A
+        outs[3 * K + c][:] = B
+        val = a_rel * (B - A) + (1.0 - a_rel) * (sL[c] - sD[c])
+        oh_lo, oh_hi = radix[c]
+        G = oh_hi * val.reshape(1, T)
+        y_acc = y_acc + jax.lax.dot_general(
+            G, oh_lo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    y_ref[:] += y_acc
+
+
+def fused_step_delta(
+    sD, sL, v, arrs, kind, needs_floor,
+    alpha: float,
+    cfg: ProjectionConfig = ProjectionConfig(),
+    interpret: bool = False,
+):
+    """One fused half-iteration for one DELTA bucket (refinement stage).
+
+    sD/sL: (K, m) delta state planes;  v: (n_pad,) combined broadcast
+    vector (wdef - dnu, zero-padded);  arrs: a delta bucket dict from
+    ``DeltaAdmmSolver.delta_buckets`` (X0/w/sS/aD/aL/mask/gamma/nsig and,
+    on the precise path, the pre-broadcast base-dual plane nu0e).
+    Returns (sD', sL', a, b, y_partial(n_pad,)).
+    """
+    K, m = sD.shape
+    assert m % _LANES == 0, f"pool count {m} must be a multiple of {_LANES}"
+    n_pad = v.shape[0]
+    assert n_pad % _LANES == 0
+    H = n_pad // _LANES
+    rows = m // _LANES
+    tile_rows = _pick_tile_rows(
+        rows, K, H, require8=not interpret, temps=40
+    )
+    if tile_rows == 0:
+        raise ValueError(
+            f"delta bucket (K={K}, m={m}, n_pad={n_pad}) has no TPU-legal "
+            "tile under the VMEM budget; compile with pad_pools_to=1024 "
+            "or use the classic path for this bucket shape"
+        )
+    grid = (rows // tile_rows,)
+
+    def chan(a):
+        return a.reshape(rows, _LANES)
+
+    nu0e = arrs.get("nu0e")
+    if nu0e is None:
+        nu0e = jnp.zeros_like(arrs["mask"])
+    inputs = []
+    for arr in (sD, sL):
+        inputs.extend(chan(arr[c]) for c in range(K))
+    inputs.extend(chan(arrs["asset"][c]) for c in range(K))
+    for plane in (
+        arrs["X0"], arrs["w"], arrs["sS"], arrs["aD"], arrs["aL"],
+        arrs["mask"], nu0e,
+    ):
+        inputs.extend(chan(plane[c]) for c in range(K))
+    inputs.extend([chan(arrs["gamma"]), chan(arrs["nsig"])])
+    inputs.append(v.reshape(H, _LANES))
+
+    block = pl.BlockSpec(
+        (tile_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    vec_block = pl.BlockSpec(
+        (H, _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [block] * (10 * K + 2) + [vec_block]
+    out_specs = [block] * (4 * K) + [vec_block]
+    out_shape = [jax.ShapeDtypeStruct((rows, _LANES), sD.dtype)] * (4 * K) + [
+        jax.ShapeDtypeStruct((H, _LANES), sD.dtype)
+    ]
+
+    kernel = functools.partial(
+        _fused_delta_kernel, K, kind, needs_floor, cfg, alpha, H
+    )
+
+    def kfn(*refs):
+        kernel(refs)
+
+    E = K * m
+    steps = cfg.n_bisect + cfg.n_polish
+    out = pl.pallas_call(
+        kfn,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * E * n_pad + 80 * steps * E,
+            bytes_accessed=4 * (14 * E + 2 * n_pad),
+            transcendentals=(steps + 2) * E,
+        ),
+    )(*inputs)
+
+    sDn = jnp.stack([out[c].reshape(m) for c in range(K)])
+    sLn = jnp.stack([out[K + c].reshape(m) for c in range(K)])
+    A = jnp.stack([out[2 * K + c].reshape(m) for c in range(K)])
+    B = jnp.stack([out[3 * K + c].reshape(m) for c in range(K)])
+    y = out[4 * K].reshape(n_pad)
+    return sDn, sLn, A, B, y

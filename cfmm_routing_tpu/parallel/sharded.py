@@ -681,22 +681,16 @@ class ShardedDeltaAdmmSolver(ShardedAdmmSolver):
         warm: Optional[RouteResult] = None,
     ) -> RouteResult:
         """One sharded correction solve (same semantics as
-        DeltaAdmmSolver.solve_delta: linear objectives run the delta-dual
-        iteration with dnu state and e0 riding the c slot)."""
-        util = None
-        if isinstance(objective, ConcaveUtility):
-            util = objective.pack(self.dtype)
-            c, lo, hi = util.c, util.lo, util.hi
-            start_nu = np.asarray(nu0, np.float64)
-        else:
-            e0 = np.asarray(objective.c, np.float64) / float(rho) - np.asarray(
-                nu0, np.float64
-            )
-            c = jnp.asarray(e0, self.dtype)
-            fmax = np.finfo(np.float32).max / 4
-            lo = jnp.asarray(np.maximum(objective.lo, -fmax), self.dtype)
-            hi = jnp.asarray(np.minimum(objective.hi, fmax), self.dtype)
-            start_nu = np.zeros_like(np.asarray(nu0, np.float64))
+        DeltaAdmmSolver.solve_delta: objectives covered by the precise
+        re-centered path — linear AND separable utilities without power
+        atoms — run the delta-dual iteration with dnu state; the prep is
+        literally shared with the single-device solver so the refinement
+        driver's price reconstruction stays consistent)."""
+        from ..solver.refine_device import _prep_delta_solve
+
+        c, lo, hi, util, start_nu = _prep_delta_solve(
+            objective, nu0, rho, self.dtype
+        )
         has_nu0e = any("nu0e" in b for b in bdict.values())
         key = ("delta", util is not None, warm is not None, has_nu0e)
         prog = self._progs.get(key)

@@ -254,42 +254,9 @@ class DeltaAdmmSolver(AdmmSolver):
         objectives run the classic full-dual iteration.  ``warm`` chains
         chunks within a pass (same-space RouteResult).
         """
-        util = None
-        if isinstance(objective, ConcaveUtility):
-            from ..ops.prox import DeltaUtility
-
-            pack = objective.pack(self.dtype)
-            c, lo, hi = pack.c, pack.lo, pack.hi
-            if _delta_precise(objective):
-                # precise re-centered path: dual state is dnu, the fold
-                # constant e0u = U'_delta(0) - rho*nu0 rides the utility
-                k = np.asarray(objective.kind)
-                up0 = np.where(
-                    k == 2,
-                    np.asarray(objective.c, np.float64)
-                    / np.maximum(np.asarray(objective.b, np.float64), 1e-300),
-                    np.asarray(objective.c, np.float64),
-                )
-                e0u = up0 - float(rho) * np.asarray(nu0, np.float64)
-                util = DeltaUtility(
-                    kind=pack.kind, c=pack.c, a=pack.a, b=pack.b,
-                    p=jnp.zeros_like(pack.p), lo=pack.lo, hi=pack.hi,
-                    e0u=jnp.asarray(e0u, self.dtype),
-                )
-                c = jnp.zeros_like(pack.c)
-                start_nu = np.zeros_like(np.asarray(nu0, np.float64))
-            else:
-                util = pack  # power atoms: classic full-dual fallback
-                start_nu = np.asarray(nu0, np.float64)
-        else:
-            e0 = np.asarray(objective.c, np.float64) / float(rho) - np.asarray(
-                nu0, np.float64
-            )
-            c = jnp.asarray(e0, self.dtype)
-            fmax = np.finfo(np.float32).max / 4
-            lo = jnp.asarray(np.maximum(objective.lo, -fmax), self.dtype)
-            hi = jnp.asarray(np.minimum(objective.hi, fmax), self.dtype)
-            start_nu = np.zeros_like(np.asarray(nu0, np.float64))  # dnu = 0
+        c, lo, hi, util, start_nu = _prep_delta_solve(
+            objective, nu0, rho, self.dtype
+        )
         if warm is not None:
             z0, nu0_arr = self.warm_state(warm, rho)
         else:
@@ -299,6 +266,59 @@ class DeltaAdmmSolver(AdmmSolver):
             c, lo, hi, jnp.asarray(rho, self.dtype), z0, nu0_arr, util,
             bdict, max_iters=jnp.asarray(int(max_iters), jnp.int32),
         )
+
+
+def _prep_delta_solve(objective, nu0, rho: float, dtype):
+    """(c, lo, hi, util, start_nu) device/host inputs for one correction
+    solve.
+
+    SHARED by :class:`DeltaAdmmSolver` and
+    :class:`~cfmm_routing_tpu.parallel.sharded.ShardedDeltaAdmmSolver` —
+    :func:`refine_device` reconstructs true prices as
+    ``rho*nu0 + delta_prices`` exactly when :func:`_delta_precise` holds,
+    so every solver implementation MUST take the re-centered (delta-dual)
+    path under the same predicate.  (Round-4 advisor finding: the sharded
+    path packed separable utilities for the classic full-dual iteration
+    while the driver assumed the precise one — the base dual was counted
+    twice and sharded refinement of utilities failed to certify.)
+    """
+    if isinstance(objective, ConcaveUtility):
+        from ..ops.prox import DeltaUtility
+
+        pack = objective.pack(dtype)
+        c, lo, hi = pack.c, pack.lo, pack.hi
+        if _delta_precise(objective):
+            # precise re-centered path: dual state is dnu, the fold
+            # constant e0u = U'_delta(0) - rho*nu0 rides the utility
+            k = np.asarray(objective.kind)
+            up0 = np.where(
+                k == 2,
+                np.asarray(objective.c, np.float64)
+                / np.maximum(np.asarray(objective.b, np.float64), 1e-300),
+                np.asarray(objective.c, np.float64),
+            )
+            e0u = up0 - float(rho) * np.asarray(nu0, np.float64)
+            util = DeltaUtility(
+                kind=pack.kind, c=pack.c, a=pack.a, b=pack.b,
+                p=jnp.zeros_like(pack.p), lo=pack.lo, hi=pack.hi,
+                e0u=jnp.asarray(e0u, dtype),
+            )
+            c = jnp.zeros_like(pack.c)
+            start_nu = np.zeros_like(np.asarray(nu0, np.float64))
+        else:
+            util = pack  # power atoms: classic full-dual fallback
+            start_nu = np.asarray(nu0, np.float64)
+    else:
+        util = None
+        e0 = np.asarray(objective.c, np.float64) / float(rho) - np.asarray(
+            nu0, np.float64
+        )
+        c = jnp.asarray(e0, dtype)
+        fmax = np.finfo(np.float32).max / 4
+        lo = jnp.asarray(np.maximum(objective.lo, -fmax), dtype)
+        hi = jnp.asarray(np.minimum(objective.hi, fmax), dtype)
+        start_nu = np.zeros_like(np.asarray(nu0, np.float64))  # dnu = 0
+    return c, lo, hi, util, start_nu
 
 
 def _delta_precise(objective) -> bool:
@@ -504,6 +524,22 @@ def refine_device(
             eps_abs=1e-8, eps_rel=1e-8, adapt_rho=False,
         )
         solver = DeltaAdmmSolver(compiled, dtype=jnp.float32, options=opts)
+    else:
+        # the delta-dual iteration folds e0 = c/rho - nu0 as a per-solve
+        # constant; an in-solve rho rescale would silently invalidate it
+        # (the requirement used to live only in docstrings — round-4
+        # advisor finding)
+        s_opts = getattr(solver, "options", None)
+        if s_opts is None:
+            s_opts = solver.inner.options
+        if s_opts.adapt_rho:
+            raise ValueError(
+                "refine_device needs a solver with adapt_rho=False: the "
+                "delta-dual iteration folds c/rho - nu0 into a per-solve "
+                "constant that an in-solve penalty rescale invalidates "
+                "(build the solver with AdmmOptions(adapt_rho=False, "
+                "eps_abs=1e-8, eps_rel=1e-8))"
+            )
 
     total = 0
     for _ in range(int(max_passes)):

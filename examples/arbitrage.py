@@ -5,10 +5,15 @@ Finds the profit-maximal zero-capital route through the 5-pool / 4-asset
 demo network and prints the total output value (pinned ground truth
 21.499805, BASELINE.md).
 """
-import os
-import sys
+try:  # prefer the installed package (pip install -e .)
+    import cfmm_routing_tpu  # noqa: F401
+except ImportError:  # running straight from a source checkout
+    import os
+    import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
 
 from cfmm_routing_tpu import api
 from cfmm_routing_tpu.models.reference_instances import arbitrage_instance

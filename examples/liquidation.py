@@ -5,10 +5,15 @@ Liquidates the basket [2, 1, 3, 5, 10] entirely into token 4 through the
 5-pool / 5-asset demo network and prints the proceeds (pinned ground truth
 15.883010, BASELINE.md).
 """
-import os
-import sys
+try:  # prefer the installed package (pip install -e .)
+    import cfmm_routing_tpu  # noqa: F401
+except ImportError:  # running straight from a source checkout
+    import os
+    import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
 
 from cfmm_routing_tpu import api
 from cfmm_routing_tpu.models.reference_instances import liquidation_instance

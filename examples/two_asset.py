@@ -6,10 +6,17 @@ The reference loops 50 serial cvxpy canonicalize+solve cycles
 on device.  Prints u(t) per grid point and writes the two figures
 (per-pool net flows, utility frontier) to ``output/``.
 """
-import os
-import sys
+try:  # prefer the installed package (pip install -e .)
+    import cfmm_routing_tpu  # noqa: F401
+except ImportError:  # running straight from a source checkout
+    import os
+    import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+import os
 
 import numpy as np
 

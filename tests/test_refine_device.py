@@ -325,6 +325,68 @@ def test_refine_device_sharded_delta_solver():
     )
 
 
+def test_refine_device_sharded_separable_utility():
+    """Regression (round-4 advisor): the sharded delta solver must run
+    separable utilities through the SAME precise re-centered path as the
+    single-device solver — the driver reconstructs prices as
+    rho*nu0 + delta prices whenever the objective is delta-precise, so a
+    sharded classic-full-dual solve double-counted the base dual and
+    refinement of a linear+log utility failed to certify."""
+    import dataclasses
+
+    from cfmm_routing_tpu.parallel.mesh import pool_mesh
+    from cfmm_routing_tpu.parallel.sharded import ShardedDeltaAdmmSolver
+    from cfmm_routing_tpu.solver.compiler import compile_spec as _cs
+
+    spec, obj = random_arbitrage(10, 24, seed=17)
+    n = spec.n_assets
+    util = ConcaveUtility.linear(obj.c, lo=np.zeros(n))
+    util = util.with_log(1, c=1.0, b=2.0)
+    util = util.with_log(3, c=0.5, b=1.0)
+    compiled = _cs(spec, pad_pools_to=4)
+    base_opts = AdmmOptions(max_iters=6000, eps_abs=1e-7, eps_rel=1e-7)
+    solver = AdmmSolver(compiled, dtype=jnp.float32, options=base_opts)
+    res = solver.solve(util)
+
+    mesh = pool_mesh(4, platform="cpu")
+    dopts = dataclasses.replace(
+        base_opts, max_iters=250, eps_abs=1e-8, eps_rel=1e-8, adapt_rho=False
+    )
+    dsolver = ShardedDeltaAdmmSolver(
+        compiled, mesh, dtype=jnp.float32, options=dopts
+    )
+    out = refine_device(compiled, util, res, target_gap=1e-6, solver=dsolver)
+    assert out.achieved, (
+        f"gap {out.certificate.gap_rel:.2e} "
+        f"feas {out.certificate.feasibility_rel:.2e}"
+    )
+    out1 = refine_device(compiled, util, res, target_gap=1e-6)
+    assert abs(out.certificate.objective - out1.certificate.objective) <= (
+        1e-6 * max(1.0, abs(out1.certificate.objective))
+    )
+
+
+def test_refine_device_rejects_adapt_rho_solver():
+    """A user-supplied delta solver with adapt_rho=True must be rejected
+    loudly (the delta-dual fold constant e0 = c/rho - nu0 is invalidated
+    by an in-solve rho rescale)."""
+    from cfmm_routing_tpu.solver.refine_device import DeltaAdmmSolver
+
+    spec, obj = arbitrage_instance()
+    compiled = compile_spec(spec)
+    solver = AdmmSolver(
+        compiled, dtype=jnp.float32,
+        options=AdmmOptions(max_iters=2000, eps_abs=1e-6, eps_rel=1e-6),
+    )
+    res = solver.solve(obj)
+    bad = DeltaAdmmSolver(
+        compiled, dtype=jnp.float32,
+        options=AdmmOptions(max_iters=250, adapt_rho=True),
+    )
+    with pytest.raises(ValueError, match="adapt_rho"):
+        refine_device(compiled, obj, res, target_gap=1e-7, solver=bad)
+
+
 @pytest.mark.parametrize("seed", [21, 22, 23, 24])
 def test_refine_device_fuzz_mixed_networks(seed):
     """Fuzz: random mixed networks (product / weighted / bounded-v3 /
