@@ -136,10 +136,12 @@ def run_config(m, n_assets, B, fused):
     jax.block_until_ready(nuw)
     _log(f"m={m}: chunk compile {time.perf_counter() - t0:.1f}s")
 
-    # warmup-compile the DELTA refinement program outside the clock too
-    # (same jitted program serves every pass/eps — the delta arrays are
-    # traced arguments; a fresh process otherwise pays the compile
-    # inside refine_s)
+    # warmup-compile the DELTA refinement programs outside the clock too
+    # (same jitted programs serve every pass/eps — the delta arrays are
+    # traced arguments; a fresh process otherwise pays the compiles
+    # inside refine_s).  The refinement runs the FUSED delta path on TPU
+    # (round 5), whose n_iters is a static arg: warm with the real chunk
+    # size, cold-chunk AND warm-chunk programs.
     import dataclasses as _dc
 
     from cfmm_routing_tpu.solver.refine_device import DeltaAdmmSolver
@@ -163,48 +165,137 @@ def run_config(m, n_assets, B, fused):
     from cfmm_routing_tpu.solver.refine_device import _delta_objective
 
     bdict_w, _ = dsolver.delta_buckets(dummy, 1.0, nu0=np.zeros(solver.n))
+    dobj_w = _delta_objective(eq.objective, np.zeros(solver.n), 1.0)
     dres_w = dsolver.solve_delta(
-        _delta_objective(eq.objective, np.zeros(solver.n), 1.0),
-        bdict_w, np.zeros(solver.n), 1.0, 1,
+        dobj_w, bdict_w, np.zeros(solver.n), 1.0,
+        CHUNK if fused else 1, fused=fused,
     )
     jax.block_until_ready(dres_w.objective)
-    _log(f"m={m}: delta program compile {time.perf_counter() - t0:.1f}s")
+    dres_w2 = dsolver.solve_delta(
+        dobj_w, bdict_w, np.zeros(solver.n), 1.0,
+        CHUNK if fused else 1, fused=fused,
+        warm=jax.tree_util.tree_map(np.asarray, dres_w),
+    )
+    jax.block_until_ready(dres_w2.objective)
+    _log(f"m={m}: delta programs (fused={fused}) compile "
+         f"{time.perf_counter() - t0:.1f}s")
 
-    # warm the certificate pass too: its device side (classic projection
-    # + transfers) is a separate program from the fused chunk and would
-    # otherwise pay its compile inside the first in-loop pass
+    # warm the certificate paths: the full f64 pass (device projection +
+    # transfers) and the per-chunk DEVICE GATE (primal residuals on
+    # device + prices-only f64 dual bound on host, solver/residuals.py)
+    from cfmm_routing_tpu.solver.residuals import DeviceGate
+
     t0 = time.perf_counter()
     _certify_orig(solver, compiled, compiled_orig, obj, eq.d, z, nu, rho, psi_w)
-    _log(f"m={m}: certificate path warm {time.perf_counter() - t0:.1f}s")
+    gate = DeviceGate(solver, compiled_orig, obj, d=eq.d)
+    gate.finish(gate.evaluate(z, nu, rho))
+    _log(f"m={m}: certificate paths warm {time.perf_counter() - t0:.1f}s")
 
     solve_s = 0.0
-    cert_s = 0.0
+    cert_s = 0.0  # HOST certificate work (gate finishes + full passes) —
+    #               overlapped with device chunks; the wall clock is
+    #               tracked separately (e2e_s)
     iters = 0
-    loose = None  # (iters, solve_s) at first certified 1e-3
-    tight = None  # at first certified 1e-6
+    loose = None  # (iters, solve_s) at first gate-estimated 1e-3
+    tight = None  # at first CONFIRMED (full f64) 1e-6
     cert = None
     w_out = None
     w_scaled = None
-    last_cert_at = 0
-    # floor detection rides the FREE per-chunk residuals, not certificate
-    # passes (0.5-2.8s each here — device->host transfer over the remote
-    # tunnel dominates).  A certificate then CONFIRMS the handoff
-    # quality: an entry worse than ~3e-4 costs far more refinement than
-    # further base chunks (measured: ~8e-5 entry refines in 250
-    # iterations, ~3e-4 fails to certify), so a bad confirm resumes the
-    # base solve.
+    # Round-5 certification structure: the primal side of every in-loop
+    # pass runs ON DEVICE (solver/residuals.DeviceGate — projection,
+    # net trade, objective, feasibility residuals, in original units via
+    # the fp-exact power-of-two scales) and only the (n,)-price vector
+    # crosses to host for the RIGOROUS f64 dual bound.  The gate is
+    # dispatched right after each chunk and its host half is processed
+    # while the NEXT chunk runs on device, so certification is off the
+    # critical path.  A FULL f64 host certificate (certify.certify) is
+    # paid only to CONFIRM an accept/handoff decision.
     r_min = float("inf")
     r_stall = 0
+    pending = None  # (iters, z, nu, rho, solve_s, gate_out) one chunk back
+    handoff = False
+
+    def _host_gate(pend):
+        nonlocal cert_s, loose, tight, cert, w_out, w_scaled, handoff, r_stall
+        it_p, z_p, nu_p, rho_p, solve_p, go_p = pend
+        tc = time.perf_counter()
+        est = gate.finish(go_p)
+        cert_s += time.perf_counter() - tc
+        score = est.score
+        _log(
+            f"m={m} it={it_p}: gate gap={est.gap_rel:.2e} "
+            f"feas={est.feasibility_rel:.2e} solve={solve_p:.2f}s"
+        )
+        if loose is None and score <= GAP_LOOSE:
+            loose = (it_p, solve_p)
+        floor_suspect = loose is not None and r_stall >= 12
+        confirm = (
+            score <= GAP_TIGHT
+            or (loose is not None and score <= 1.2e-4)
+            or (floor_suspect and score <= 3e-4)
+        )
+        if not confirm:
+            if floor_suspect:
+                _log(
+                    f"m={m}: residual plateau at gate score {score:.1e} "
+                    "not yet refinable; continuing the base solve"
+                )
+                r_stall = 0
+            return False
+        # pay for the rigorous f64 pass only at accept/handoff
+        tc = time.perf_counter()
+        cert_c, w_out_c, w_scaled_c = _certify_orig(
+            solver, compiled, compiled_orig, obj, eq.d, z_p, nu_p, rho_p,
+            go_p["psi_solve"],
+        )
+        cert_s += time.perf_counter() - tc
+        cert = cert_c
+        w_out, w_scaled = w_out_c, w_scaled_c
+        score_c = max(abs(cert.gap_rel), cert.feasibility_rel)
+        _log(
+            f"m={m} it={it_p}: CONFIRM gap={cert.gap_rel:.2e} "
+            f"feas={cert.feasibility_rel:.2e}"
+        )
+        if score_c <= GAP_TIGHT:
+            tight = (it_p, solve_p)
+            return True
+        if score_c <= 3e-4:
+            _log(f"m={m}: score {score_c:.1e} refinable; handing to refine_device")
+            handoff = True
+            return True
+        return False
+
+    t_e2e0 = time.perf_counter()
     while iters < MAX_ITERS:
         t0 = time.perf_counter()
-        z, nu, r2, s2, w2, z2, u2, psi, objv = drv._chunk_jit(
+        z_n, nu_n, r2, s2, w2, z2, u2, psi, objv = drv._chunk_jit(
             z, nu, rho, c, lo, hi, None
         )
+        iters += CHUNK
+        # dispatch the gate for THIS chunk's state (async; device runs it
+        # right after the chunk), then do the PREVIOUS chunk's host-side
+        # gate work while the device is busy
+        gate_out = dict(gate.evaluate(z_n, nu_n, rho))
+        gate_out["psi_solve"] = psi
+        prev = pending
+        pending = None
+        stop = False
+        if prev is not None:
+            stop = _host_gate(prev)
+        if stop:
+            # decisions act on the PREVIOUS snapshot; roll the state back
+            # to it (the in-flight chunk is discarded — one chunk of
+            # device work, already overlapped with the host pass)
+            iters = prev[0]
+            z, nu, rho = prev[1], prev[2], prev[3]
+            solve_s = prev[4]
+            break
         jax.block_until_ready(psi)
         solve_s += time.perf_counter() - t0
-        iters += CHUNK
         r = float(jnp.sqrt(r2))
         s = float(jnp.sqrt(s2))
+        z, nu = z_n, nu_n
+        pending = (iters, z_n, nu_n, rho, solve_s, gate_out)
         # never adapt off a (near-)exact f32 fixed point: r can reach
         # EXACTLY 0 there, and the s > 3r branch would then halve rho
         # every remaining chunk, handing the refine stage a collapsed
@@ -219,56 +310,16 @@ def run_config(m, n_assets, B, fused):
         else:
             r_stall += 1
         r_min = min(r_min, r)
-        # 12 flat chunks, not fewer: base chunks cost ~0.05-0.16s while a
-        # rougher handoff costs thousands of refinement iterations
-        # (measured: entry ~8e-5 -> 250, ~1.2e-4 -> 2000)
-        floor_suspect = loose is not None and r_stall >= 12
-        do_cert = (
-            (loose is None and r < 0.5)
-            or floor_suspect
-            or iters - last_cert_at >= 10 * CHUNK
+    if pending is not None and tight is None and not handoff:
+        _host_gate(pending)
+        iters, z, nu, rho, solve_s = (
+            pending[0], pending[1], pending[2], pending[3], pending[4]
         )
-        if not do_cert:
-            continue
-        last_cert_at = iters
-        timing = {} if cert is None else None
-        t0 = time.perf_counter()
+    if cert is None:
         cert, w_out, w_scaled = _certify_orig(
-            solver, compiled, compiled_orig, obj, eq.d, z, nu, rho, psi,
-            timing=timing,
+            solver, compiled, compiled_orig, obj, eq.d, z, nu, rho, psi
         )
-        if timing:
-            _log(f"m={m}: cert-pass breakdown {timing}")
-        cert_pass = time.perf_counter() - t0
-        cert_s += cert_pass
-        gap, feas = cert.gap_rel, cert.feasibility_rel
-        _log(
-            f"m={m} it={iters}: r={r:.2e} s={s:.2e} gap={gap:.2e} "
-            f"feas_rel={feas:.2e} solve={solve_s:.2f}s cert_pass={cert_pass:.2f}s"
-        )
-        # |gap| criterion: a negative gap is value overshoot from residual
-        # infeasibility; the feasibility gate bounds that side
-        score = max(abs(gap), feas)
-        if loose is None and score <= GAP_LOOSE:
-            loose = (iters, solve_s)
-        if score <= GAP_TIGHT:
-            tight = (iters, solve_s)
-            break
-        if loose is not None and score <= 1.2e-4:
-            # already in the high-quality handoff band — refinement from
-            # here takes ~250 iterations; waiting for the residual
-            # plateau only burns more certificate passes
-            _log(f"m={m}: score {score:.1e} refinable; handing to refine_device")
-            break
-        if floor_suspect and score <= 3e-4:
-            _log(f"m={m}: f32 floor at {score:.1e}; handing to refine_device")
-            break
-        if floor_suspect:
-            _log(
-                f"m={m}: residual plateau at score {score:.1e} not yet "
-                "refinable; continuing the base solve"
-            )
-            r_stall = 0
+    loop_wall_s = time.perf_counter() - t_e2e0
 
     row = dict(
         m=m, n_assets=n_assets, B=1, equilibrated=True,
@@ -279,6 +330,7 @@ def run_config(m, n_assets, B, fused):
         device_iters=iters, device_solve_s=round(solve_s, 3),
         certify_s_total=round(cert_s, 3),
         certify_s_per_pass=round(cert_s / max(1, iters // CHUNK), 3),
+        loop_wall_s=round(loop_wall_s, 3),
         gap=float(cert.gap_rel), feas_rel=float(cert.feasibility_rel),
         certified_1e6=bool(tight is not None),
         refine_s=0.0, refine_iters=0,
@@ -306,7 +358,7 @@ def run_config(m, n_assets, B, fused):
         t0 = time.perf_counter()
         ref = refine_device(
             compiled, eq.objective, res32_scaled, target_gap=GAP_TIGHT,
-            solver=dsolver,
+            solver=dsolver, fused=fused,
             cert_space=(
                 compiled_orig, obj,
                 lambda r: unscale_result(r, eq.d, compiled),
@@ -435,8 +487,17 @@ def main():
                 total = f"{r['solve_s_to_1e6']} (on-device)"
             else:
                 total = str(round(r["device_solve_s"] + r["refine_s"], 3))
+            # certification host work is OVERLAPPED with device chunks
+            # (DeviceGate): the end-to-end number is the measured wall
+            # clock of the gated solve loop plus the refine stage, not
+            # the sum of the component clocks
             e2e = round(
-                r["device_solve_s"] + r["refine_s"] + r["certify_s_total"], 3
+                r.get(
+                    "loop_wall_s",
+                    r["device_solve_s"] + r["certify_s_total"],
+                )
+                + r["refine_s"],
+                3,
             )
             lines.append(
                 f"| {r['m']:,} | {r['n_assets']} | {r['solve_s_to_1e3']} | "

@@ -334,6 +334,17 @@ def fused_step(
 # target nsig.
 
 
+def _log1p(u):
+    """Mosaic has no log1p lowering; this is the classic compensated
+    form (Goldberg/HP-15C): w = 1+u rounds, but log(w) * u / (w - 1)
+    recovers nearly full relative precision because the rounding of w
+    cancels between log(w) and (w - 1).  Exact where 1+u rounds to 1."""
+    w = 1.0 + u
+    den = w - 1.0
+    safe = jnp.where(den == 0.0, 1.0, den)
+    return jnp.where(den == 0.0, u, jnp.log(w) * (u / safe))
+
+
 def _eval_gm_delta_channels(mu, ch, gamma, needs_floor):
     """Delta geo-mean channel evaluation (projection_delta._eval_gm_delta
     unrolled over slot channels; all (rows, 128) blocks)."""
@@ -351,7 +362,7 @@ def _eval_gm_delta_channels(mu, ch, gamma, needs_floor):
         b = b * mask
         v = gamma * a - b
         u = v / X0
-        term = w * jnp.log1p(jnp.maximum(u, jnp.float32(-0.999999))) * mask
+        term = w * _log1p(jnp.maximum(u, jnp.float32(-0.999999))) * mask
         h = term if h is None else h + term
         As.append(a)
         Bs.append(b)
@@ -385,7 +396,9 @@ def _eval_cs_delta_channels(mu, ch, gamma):
 def _gm_delta_bracket_ch(ch, gamma, nsig):
     """Channel form of projection_delta._gm_delta_bracket."""
     margin = jnp.float32(1e-3)
-    vfac = jnp.expm1(_relu(nsig))
+    # jnp.expm1 has no Mosaic lowering; plain exp-1 is fine here (the
+    # bracket only needs an upper bound and carries its own +margin)
+    vfac = jnp.exp(_relu(nsig)) - 1.0
     mu_hi = None
     for (p, q, X0, w, sS, aD, aL, mask) in ch:
         vreq = X0 * vfac + margin

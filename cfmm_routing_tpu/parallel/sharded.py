@@ -679,18 +679,30 @@ class ShardedDeltaAdmmSolver(ShardedAdmmSolver):
         rho: float,
         max_iters: int,
         warm: Optional[RouteResult] = None,
+        fused: bool = False,
+        interpret: bool = False,
     ) -> RouteResult:
         """One sharded correction solve (same semantics as
         DeltaAdmmSolver.solve_delta: objectives covered by the precise
         re-centered path — linear AND separable utilities without power
         atoms — run the delta-dual iteration with dnu state; the prep is
         literally shared with the single-device solver so the refinement
-        driver's price reconstruction stays consistent)."""
+        driver's price reconstruction stays consistent).
+
+        ``fused=True``: each device runs the fused-Pallas delta kernel on
+        its local pool shard (``DeltaAdmmSolver._iterate_fused`` under
+        shard_map) — the refinement stage at the base solve's sharded
+        throughput; per-device pool counts must be lane-aligned."""
         from ..solver.refine_device import _prep_delta_solve
 
         c, lo, hi, util, start_nu = _prep_delta_solve(
             objective, nu0, rho, self.dtype
         )
+        if fused:
+            return self._solve_delta_fused(
+                bdict, c, lo, hi, util, start_nu, rho, int(max_iters),
+                warm, bool(interpret),
+            )
         has_nu0e = any("nu0e" in b for b in bdict.values())
         key = ("delta", util is not None, warm is not None, has_nu0e)
         prog = self._progs.get(key)
@@ -741,6 +753,10 @@ class ShardedDeltaAdmmSolver(ShardedAdmmSolver):
         if util is not None:
             args = args + (util,)
         out = prog(*args)
+        return self._gather_if_multiprocess(out)
+
+    @staticmethod
+    def _gather_if_multiprocess(out: RouteResult) -> RouteResult:
         if jax.process_count() > 1:
             # the refinement driver composes/certifies on HOST from the
             # GLOBAL trades; pool-sharded leaves span non-addressable
@@ -753,3 +769,68 @@ class ShardedDeltaAdmmSolver(ShardedAdmmSolver):
                 out,
             )
         return out
+
+    def _solve_delta_fused(
+        self, bdict, c, lo, hi, util, start_nu, rho, n_iters: int,
+        warm, interpret: bool,
+    ) -> RouteResult:
+        """Sharded fused-Pallas correction solve: n_iters fused delta
+        iterations on each device's local shard + one classic harvest
+        iteration (``DeltaAdmmSolver._solve_fused_impl`` under
+        shard_map)."""
+        self._check_fused_alignment()
+        has_nu0e = any("nu0e" in b for b in bdict.values())
+        key = (
+            "delta_fused", util is not None, warm is not None, has_nu0e,
+            n_iters, interpret,
+        )
+        prog = self._progs.get(key)
+        if prog is None:
+            specs = self._delta_specs(bdict)
+            base = (specs, P(), P(), P(), P())
+
+            if util is not None and warm is not None:
+                def _s(buckets, c_, lo_, hi_, rho_, z0, nu0_, util_):
+                    return self.inner._solve_fused_impl(
+                        c_, lo_, hi_, rho_, n_iters=n_iters, util=util_,
+                        interpret=interpret, buckets=buckets, z0=z0,
+                        nu0=nu0_,
+                    )
+
+                in_specs = base + (self._z_specs, P(), P())
+            elif util is not None:
+                def _s(buckets, c_, lo_, hi_, rho_, nu0_, util_):
+                    return self.inner._solve_fused_impl(
+                        c_, lo_, hi_, rho_, n_iters=n_iters, util=util_,
+                        interpret=interpret, buckets=buckets, nu0=nu0_,
+                    )
+
+                in_specs = base + (P(), P())
+            elif warm is not None:
+                def _s(buckets, c_, lo_, hi_, rho_, z0, nu0_):
+                    return self.inner._solve_fused_impl(
+                        c_, lo_, hi_, rho_, n_iters=n_iters,
+                        interpret=interpret, buckets=buckets, z0=z0,
+                        nu0=nu0_,
+                    )
+
+                in_specs = base + (self._z_specs, P())
+            else:
+                def _s(buckets, c_, lo_, hi_, rho_, nu0_):
+                    return self.inner._solve_fused_impl(
+                        c_, lo_, hi_, rho_, n_iters=n_iters,
+                        interpret=interpret, buckets=buckets, nu0=nu0_,
+                    )
+
+                in_specs = base + (P(),)
+            prog = self._shard(_s, in_specs, self._result_specs)
+            self._progs[key] = prog
+        args = (bdict, c, lo, hi, jnp.asarray(rho, self.dtype))
+        if warm is not None:
+            z0, nu0_arr = self.inner.warm_state(warm, rho)
+            args = args + (z0, nu0_arr)
+        else:
+            args = args + (jnp.asarray(start_nu, self.dtype),)
+        if util is not None:
+            args = args + (util,)
+        return self._gather_if_multiprocess(prog(*args))

@@ -472,7 +472,7 @@ class AdmmSolver:
         return z
 
     def _solve_fused_impl(self, c, lo, hi, rho, n_iters, util=None,
-                          interpret=False, buckets=None):
+                          interpret=False, buckets=None, z0=None, nu0=None):
         """Fixed-iteration solve on the fused-kernel path.
 
         Runs ``n_iters`` fused iterations (one Pallas launch per bucket per
@@ -484,10 +484,18 @@ class AdmmSolver:
         sharded path passes each device's LOCAL shard as a traced argument
         (same contract as :meth:`_iterate`); the per-iteration psum sites
         inside :meth:`_iterate_fused` / :meth:`_iterate` complete the
-        consensus across the pool mesh axis."""
+        consensus across the pool mesh axis.
+
+        ``z0``/``nu0`` warm-start the fused state: z = s + wdef_e with
+        wdef = 0 reproduces any classic edge state exactly, so chunked
+        callers (the refinement stage) chain fused chunks through
+        :meth:`warm_state` with no conversion cost."""
         opts = self.options
         buckets = self.buckets if buckets is None else buckets
-        s0, wdef0, nu0 = self.fused_init(buckets)
+        s0, wdef0, nu0_z = self.fused_init(buckets)
+        if z0 is not None:
+            s0 = {name: (zD, zL) for name, (zD, zL) in z0.items()}
+        nu0 = nu0_z if nu0 is None else nu0
 
         def body(_, st):
             s, wdef, nu = st

@@ -54,6 +54,7 @@ __all__ = [
     "InfeasibilityCertificate",
     "certify",
     "certify_infeasible",
+    "dual_bound",
     "polish_prices",
 ]
 
@@ -531,6 +532,63 @@ def certify_infeasible(
     return InfeasibilityCertificate(
         margin=margin, infeasible=bool(margin < 0.0), prices=u
     )
+
+
+def dual_bound(
+    compiled: CompiledProblem,
+    objective,
+    prices: np.ndarray,
+) -> float:
+    """Rigorous f64 dual upper bound on the optimum from a price vector
+    ALONE (no trades needed): repaired-nu box/utility support + per-pool
+    arbitrage supports.
+
+    This is exactly the dual side of :func:`certify`, split out so the
+    solve loop can bound the gap from the (n,)-vector of prices without
+    transferring the (K, m) trade planes off the device — the primal
+    side (objective value + feasibility residuals) is computable on
+    device in the solve dtype (``solver/residuals.py``) and only the
+    final confirming certificate pays the full f64 host pass.
+    """
+    from ..models.utility import CustomUtility
+
+    util = objective if isinstance(objective, ConcaveUtility) else None
+    custom = objective if isinstance(objective, CustomUtility) else None
+    lo = np.asarray(objective.lo, np.float64)
+    hi = np.asarray(objective.hi, np.float64)
+    if custom is not None:
+        if custom.conjugate is None:
+            raise ValueError(
+                "dual_bound(CustomUtility) needs the utility's conjugate"
+            )
+        nu = np.maximum(np.asarray(prices, np.float64), 0.0)
+        box = float(custom.conjugate(nu))
+    elif util is not None:
+        nu = _util_repair_prices(util, np.asarray(prices, np.float64))
+        box = _util_support(util, nu)
+    else:
+        c = np.asarray(objective.c, np.float64)
+        nu = _repair_prices(np.asarray(prices, np.float64), c, lo, hi)
+        box = _box_support(c, nu, lo, hi)
+    nu_ext = np.concatenate([nu, [0.0]])
+    total = box
+    for _, b in compiled.buckets.items():
+        nu_s = nu_ext[b.asset]
+        g = b.gamma[:, 0]
+        if b.kind == "gm":
+            total += float(
+                np.sum(
+                    _gm_bound(
+                        nu_s, b.reserves, b.weights, b.shift, g, b.logk0,
+                        b.mask,
+                    )
+                )
+            )
+        else:
+            total += float(
+                np.sum(_cs_bound(nu_s, b.reserves, g, b.weights, b.mask))
+            )
+    return total
 
 
 def certify(

@@ -176,10 +176,64 @@ class DeltaAdmmSolver(AdmmSolver):
 
     def solve_fused(self, *a, **k):
         raise NotImplementedError(
-            "the fused Pallas path projects onto the ORIGINAL trading "
-            "sets; refinement runs the classic path (its accuracy, not "
-            "its throughput, is the point)"
+            "DeltaAdmmSolver's fused path needs the per-pass delta bucket "
+            "arrays — use solve_delta(..., fused=True)"
         )
+
+    def _iterate_fused(self, s, wdef, nu, rho, c, lo, hi, util=None,
+                       interpret=False, buckets=None):
+        """Fused delta iteration: one VMEM Pallas launch per bucket onto
+        the SHIFTED trading sets (``ops.iteration_pallas.fused_step_delta``)
+        so the refinement stage runs at the base solve's throughput
+        instead of the classic path's (~44% of it at 100k pools — the
+        round-4 headline's largest cost).
+
+        The deferred-broadcast identity z = s +/- wdef_e is untouched by
+        the re-centering: the base-dual plane nu0e enters only the
+        projection input (inside the kernel), never the z-update, so the
+        O(n) recursion is byte-identical to the classic fused path.  The
+        consensus prox mirrors :meth:`_iterate` — delta-dual closed form
+        for linear objectives, ``delta_utility_prox`` for re-centered
+        separable atoms, the classic full-dual ``utility_prox`` for the
+        non-precise (power-atom) fallback."""
+        from ..ops.iteration_pallas import fused_step_delta
+        from ..ops.prox import DeltaUtility, delta_utility_prox, utility_prox
+
+        buckets = self.buckets if buckets is None else buckets
+        alpha = float(self.options.alpha)
+        n = self.n
+        n_pad = -(-n // 128) * 128
+        v = jnp.concatenate(
+            [wdef - nu, jnp.zeros((n_pad - n,), self.dtype)]
+        )
+        y = jnp.zeros((n_pad,), self.dtype)
+        s_new = {}
+        w_out = {}
+        for name, arrs in buckets.items():
+            kind, floor = self._meta[name]
+            sD, sL = s[name]
+            sDn, sLn, A, B, yp = fused_step_delta(
+                sD, sL, v, arrs, kind, floor, alpha,
+                cfg=self.options.projection, interpret=interpret,
+            )
+            s_new[name] = (sDn, sLn)
+            w_out[name] = (A, B)
+            y = y + yp
+        yhat = self._psum(y[:n]) - 2.0 * (1.0 - alpha) * self.degree * wdef
+        if util is None:
+            # delta-dual linear prox (c == e0, nu == dnu: both small)
+            d_safe = jnp.maximum(self.degree, 1.0)
+            psi = jnp.clip(yhat + 2.0 * d_safe * (c - nu), lo, hi)
+            psi = jnp.where(self.degree > 0, psi, 0.0)
+            mu = nu + (psi - yhat) / (2.0 * d_safe)
+            mu = jnp.where(self.degree > 0, mu, 0.0)
+        elif isinstance(util, DeltaUtility):
+            psi, mu = delta_utility_prox(nu, yhat, self.degree, util, rho)
+        else:
+            svec = yhat - 2.0 * self.degree * nu
+            psi, mu = utility_prox(svec, self.degree, util, rho)
+        wdef_new = (1.0 - alpha) * wdef + nu - mu
+        return s_new, wdef_new, mu, psi, w_out
 
     def delta_buckets(self, base: RouteResult, eps: float, nu0=None):
         """Pass-varying device arrays for the correction problem.
@@ -243,6 +297,8 @@ class DeltaAdmmSolver(AdmmSolver):
         rho: float,
         max_iters: int,
         warm: Optional[RouteResult] = None,
+        fused: bool = False,
+        interpret: bool = False,
     ) -> RouteResult:
         """One correction solve on the delta bucket arrays.
 
@@ -253,6 +309,11 @@ class DeltaAdmmSolver(AdmmSolver):
         recover true prices — :func:`refine_device` does).  Utility
         objectives run the classic full-dual iteration.  ``warm`` chains
         chunks within a pass (same-space RouteResult).
+
+        ``fused=True`` runs the fixed-iteration fused-Pallas delta path
+        (:meth:`_iterate_fused`): ``max_iters`` fused iterations + one
+        classic residual-harvest iteration.  Requires every bucket's pool
+        count to be a lane multiple (compile with pad_pools_to>=128).
         """
         c, lo, hi, util, start_nu = _prep_delta_solve(
             objective, nu0, rho, self.dtype
@@ -262,6 +323,17 @@ class DeltaAdmmSolver(AdmmSolver):
         else:
             z0 = None
             nu0_arr = jnp.asarray(start_nu, self.dtype)
+        if fused:
+            if self._solve_fused_jit is None:
+                self._solve_fused_jit = jax.jit(
+                    self._solve_fused_impl,
+                    static_argnames=("n_iters", "interpret"),
+                )
+            return self._solve_fused_jit(
+                c, lo, hi, jnp.asarray(rho, self.dtype),
+                n_iters=int(max_iters), util=util, interpret=interpret,
+                buckets=bdict, z0=z0, nu0=nu0_arr,
+            )
         return self._solve_jit(
             c, lo, hi, jnp.asarray(rho, self.dtype), z0, nu0_arr, util,
             bdict, max_iters=jnp.asarray(int(max_iters), jnp.int32),
@@ -426,6 +498,32 @@ def _psi_from_trades(compiled, point: RouteResult) -> np.ndarray:
     return psi[: compiled.n_assets]
 
 
+def _fused_delta_ok(solver) -> bool:
+    """Whether the fused delta kernel can run on this solver: every
+    bucket's per-device pool count must be a lane multiple (the kernel
+    tiles pools onto the 128-lane axis)."""
+    n_shards = int(getattr(solver, "n_shards", 1))
+    buckets = (
+        solver.buckets if hasattr(solver, "buckets") else solver.inner.buckets
+    )
+    for arrs in buckets.values():
+        m = int(arrs["mask"].shape[1])
+        if m % n_shards != 0 or (m // n_shards) % 128 != 0:
+            return False
+    return True
+
+
+def _on_accelerator() -> bool:
+    """True when the default device is NOT the CPU backend (the compiled
+    Pallas path is TPU-only; CPU runs use interpret mode explicitly)."""
+    default_dev = jax.config.jax_default_device
+    platform = (
+        default_dev.platform if default_dev is not None
+        else jax.default_backend()
+    )
+    return platform != "cpu"
+
+
 def refine_device(
     compiled: CompiledProblem,
     objective,
@@ -440,6 +538,8 @@ def refine_device(
     cert_space=None,
     rho0: Optional[float] = None,
     eps_factor: float = 10.0,
+    fused: Optional[bool] = None,
+    interpret: bool = False,
 ) -> RefineResult:
     """Polish an f32 solve to a certified gap with ON-DEVICE f32
     correction solves (see module docstring).  Drop-in for
@@ -456,6 +556,12 @@ def refine_device(
     ``unscale_fn`` maps to (typically original units; see
     ``solver/precondition.py`` — the certificate must speak the caller's
     units).
+
+    ``fused``: run the correction solves on the fused-Pallas delta path
+    (full base-solve throughput instead of the classic path's ~44% of
+    it).  Default ``None`` = auto: fused whenever every bucket is
+    lane-aligned AND the default device is an accelerator (CPU runs take
+    the classic path unless ``fused=True, interpret=True`` is forced).
     """
     if not isinstance(objective, (Objective, ConcaveUtility)):
         raise NotImplementedError(
@@ -540,6 +646,14 @@ def refine_device(
                 "(build the solver with AdmmOptions(adapt_rho=False, "
                 "eps_abs=1e-8, eps_rel=1e-8))"
             )
+    if fused is None:
+        fused = _fused_delta_ok(solver) and _on_accelerator()
+    elif fused and not _fused_delta_ok(solver):
+        raise ValueError(
+            "fused=True needs every bucket's (per-device) pool count to "
+            "be a multiple of 128 — compile with pad_pools_to=128 (or "
+            "1024 for compiled TPU tiles)"
+        )
 
     total = 0
     for _ in range(int(max_passes)):
@@ -619,7 +733,8 @@ def refine_device(
         center = cur
         for _c in range(int(chunks_per_pass)):
             dres = solver.solve_delta(
-                dobj, bdict, nu0f, rho, chunk_iters, warm=dwarm
+                dobj, bdict, nu0f, rho, chunk_iters, warm=dwarm,
+                fused=fused, interpret=interpret,
             )
             dwarm = _to_host(dres)
             total += int(np.asarray(dwarm.iters))
@@ -648,7 +763,9 @@ def refine_device(
                     result=unscale_fn(cur), certificate=cert, iters=total,
                     achieved=True,
                 )
-            if int(np.asarray(dres.iters)) < chunk_iters:
+            if int(np.asarray(dres.iters)) < chunk_iters or bool(
+                np.asarray(dres.converged)
+            ):
                 break  # delta solve residual-converged; re-center
         if not improved:
             break  # a re-centered pass at smaller eps won't help either

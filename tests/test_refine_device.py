@@ -366,6 +366,159 @@ def test_refine_device_sharded_separable_utility():
     )
 
 
+def _delta_setup(objective_fn=None, seed=3, n_assets=16, n_pools=320):
+    """Common fixture for the fused-delta tests: an f32 base solve on a
+    lane-aligned compiled problem plus the per-pass delta quantities
+    exactly as refine_device derives them."""
+    import jax
+
+    from cfmm_routing_tpu.solver.certify import certify
+    from cfmm_routing_tpu.solver.compiler import compile_table
+    from cfmm_routing_tpu.solver.refine_device import (
+        _delta_objective,
+        _psi_from_trades,
+    )
+    from cfmm_routing_tpu.utils.synth import random_arbitrage_table
+
+    table, obj = random_arbitrage_table(n_assets, n_pools, seed=seed)
+    if objective_fn is not None:
+        obj = objective_fn(obj, n_assets)
+    compiled = compile_table(table, pad_pools_to=128)
+    solver = AdmmSolver(
+        compiled, dtype=jnp.float32,
+        options=AdmmOptions(max_iters=6000, eps_abs=1e-7, eps_rel=1e-7),
+    )
+    res = jax.tree_util.tree_map(np.asarray, solver.solve(obj))
+    res = res._replace(psi=_psi_from_trades(compiled, res))
+    rho = float(np.clip(res.rho_final, 0.25, 4.0))
+    scale = max(
+        1.0,
+        max(
+            max(
+                float(np.max(np.abs(res.deltas[k]))),
+                float(np.max(np.abs(res.lambdas[k]))),
+            )
+            for k in res.deltas
+        ),
+    )
+    cert = certify(
+        compiled, obj, res.deltas, res.lambdas, res.prices,
+        psi_claimed=res.psi,
+    )
+    err = max(cert.feasibility_rel, abs(cert.gap_rel), 1e-12)
+    eps = float(np.clip(10.0 * err * scale, 1e-10 * scale, np.inf))
+    nu0f = (
+        (np.asarray(res.prices, np.float64) / rho)
+        .astype(np.float32)
+        .astype(np.float64)
+    )
+    dobj = _delta_objective(obj, np.asarray(res.psi, np.float64), eps)
+    return compiled, obj, res, rho, eps, nu0f, dobj
+
+
+def _with_logs(obj, n):
+    util = ConcaveUtility.linear(obj.c, lo=obj.lo, hi=obj.hi)
+    util = util.with_log(1, c=1.0, b=2.0)
+    return util.with_log(3, c=0.5, b=1.0)
+
+
+@pytest.mark.parametrize("objective_fn", [None, _with_logs])
+def test_solve_delta_fused_matches_classic(objective_fn):
+    """solve_delta(fused=True, k iters) == classic solve_delta stopped at
+    k+1 iterations (k fused Pallas launches + one classic residual
+    harvest), to f32 roundoff — for the delta-dual linear path AND the
+    re-centered separable (DeltaUtility) path."""
+    from cfmm_routing_tpu.solver.refine_device import DeltaAdmmSolver
+
+    compiled, obj, res, rho, eps, nu0f, dobj = _delta_setup(objective_fn)
+    k = 9
+    ds = DeltaAdmmSolver(
+        compiled, dtype=jnp.float32,
+        options=AdmmOptions(
+            max_iters=k + 1, eps_abs=0.0, eps_rel=0.0, adapt_rho=False
+        ),
+    )
+    bdict, min_x0 = ds.delta_buckets(res, eps, nu0=nu0f)
+    assert min_x0 > 0
+    rc = ds.solve_delta(dobj, bdict, nu0f, rho, k + 1)
+    rf = ds.solve_delta(dobj, bdict, nu0f, rho, k, fused=True, interpret=True)
+    assert int(rf.iters) == k + 1
+    np.testing.assert_allclose(
+        np.asarray(rf.psi), np.asarray(rc.psi), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(rf.prices), np.asarray(rc.prices), atol=5e-6
+    )
+    for name in rc.deltas:
+        np.testing.assert_allclose(
+            np.asarray(rf.deltas[name]), np.asarray(rc.deltas[name]),
+            atol=2e-5, err_msg=f"D[{name}]",
+        )
+        np.testing.assert_allclose(
+            np.asarray(rf.lambdas[name]), np.asarray(rc.lambdas[name]),
+            atol=2e-5, err_msg=f"L[{name}]",
+        )
+    assert abs(float(rf.r_norm) - float(rc.r_norm)) < 1e-4
+    assert abs(float(rf.s_norm) - float(rc.s_norm)) < 1e-4
+
+
+@pytest.mark.parametrize("objective_fn", [None, _with_logs])
+def test_refine_device_fused_certifies(objective_fn):
+    """refine_device(fused=True) reaches the same certified gap as the
+    classic delta path — the round-5 throughput lever must not cost any
+    accuracy."""
+    compiled, obj, res, _, _, _, _ = _delta_setup(objective_fn)
+    out_c = refine_device(compiled, obj, res, target_gap=1e-7, fused=False)
+    out_f = refine_device(
+        compiled, obj, res, target_gap=1e-7, fused=True, interpret=True
+    )
+    assert out_c.achieved and out_f.achieved
+    assert abs(out_f.certificate.gap_rel) <= 1e-7
+    assert out_f.certificate.feasibility_rel <= 1e-7
+    assert abs(
+        out_f.certificate.objective - out_c.certificate.objective
+    ) <= 1e-6 * max(1.0, abs(out_c.certificate.objective))
+
+
+def test_refine_device_fused_sharded():
+    """The fused delta kernel under shard_map: refine_device with a
+    ShardedDeltaAdmmSolver and fused=True certifies like the
+    single-device fused path (per-device lane alignment via
+    pad_pools_to=512 over 4 shards)."""
+    import dataclasses
+
+    from cfmm_routing_tpu.parallel.mesh import pool_mesh
+    from cfmm_routing_tpu.parallel.sharded import ShardedDeltaAdmmSolver
+    from cfmm_routing_tpu.solver.compiler import compile_table
+    from cfmm_routing_tpu.utils.synth import random_arbitrage_table
+
+    table, obj = random_arbitrage_table(12, 48, seed=9)
+    compiled = compile_table(table, pad_pools_to=512)
+    base_opts = AdmmOptions(max_iters=6000, eps_abs=1e-7, eps_rel=1e-7)
+    solver = AdmmSolver(compiled, dtype=jnp.float32, options=base_opts)
+    res = solver.solve(obj)
+
+    mesh = pool_mesh(4, platform="cpu")
+    dopts = dataclasses.replace(
+        base_opts, max_iters=250, eps_abs=1e-8, eps_rel=1e-8, adapt_rho=False
+    )
+    dsolver = ShardedDeltaAdmmSolver(
+        compiled, mesh, dtype=jnp.float32, options=dopts
+    )
+    out = refine_device(
+        compiled, obj, res, target_gap=1e-6, solver=dsolver, fused=True,
+        interpret=True,
+    )
+    assert out.achieved, (
+        f"gap {out.certificate.gap_rel:.2e} "
+        f"feas {out.certificate.feasibility_rel:.2e}"
+    )
+    out1 = refine_device(compiled, obj, res, target_gap=1e-6, fused=False)
+    assert abs(out.certificate.objective - out1.certificate.objective) <= (
+        1e-6 * max(1.0, abs(out1.certificate.objective))
+    )
+
+
 def test_refine_device_rejects_adapt_rho_solver():
     """A user-supplied delta solver with adapt_rho=True must be rejected
     loudly (the delta-dual fold constant e0 = c/rho - nu0 is invalidated
