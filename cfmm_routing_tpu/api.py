@@ -342,74 +342,71 @@ def sweep(
     iters_arr = np.array(res.iters)
     conv_arr = np.array(res.converged)
     certs = None
-    if certify or refine_to is not None:
+    if refine_to is not None:
+        # BATCHED refinement + certification of the whole grid: one
+        # vmapped delta-dual correction solve and ONE batched f64
+        # certificate per pass cover all T points (round 5 -- replaces
+        # the round-4 serial per-point loop; each point of the frontier
+        # gets the same certified terminal accuracy the single solves
+        # get, matching ECOS certifying each of the reference's 50
+        # serial solves, two-asset.py:91)
         from .solver.admm import RouteResult as _RR
-        from .solver.certify import certify as _certify
+        from .solver.refine_device import refine_device, refine_sweep
 
-        hi_inf = np.full(n, np.inf)
-        psi_b = np.asarray(res.psi)
-        dsolver = None
-        certs = []
-        for t in range(T):
-            obj_t = Objective(c[t], lo=lo[t], hi=hi_inf)
-            if refine_to is not None:
-                # per-point device refinement: every point of the
-                # frontier gets the same certified terminal accuracy the
-                # single solves get (ECOS certifies each of the
-                # reference's 50 serial solves — two-asset.py:91)
-                from .solver.refine_device import DeltaAdmmSolver, refine_device
-
-                if dsolver is None:
-                    dsolver = DeltaAdmmSolver(
-                        solver.compiled, dtype=jnp.float32,
-                        options=dataclasses.replace(
-                            solver.options, max_iters=250,
-                            eps_abs=1e-8, eps_rel=1e-8, adapt_rho=False,
-                        ),
-                    )
-                point = _RR(
-                    objective=res.objective[t],
-                    psi=psi_b[t], prices=prices[t],
-                    deltas={k: v[t] for k, v in dbat.items()},
-                    lambdas={k: v[t] for k, v in lbat.items()},
-                    iters=np.asarray(res.iters)[t],
-                    r_norm=np.asarray(res.r_norm)[t],
-                    s_norm=np.asarray(res.s_norm)[t],
-                    converged=np.asarray(res.converged)[t],
-                    rho_final=np.asarray(res.rho_final)[t],
-                )
-                out_t = refine_device(
-                    solver.compiled, obj_t, point, target_gap=refine_to,
-                    solver=dsolver,
-                )
-                certs.append(out_t.certificate)
-                utilities[t] = float(out_t.certificate.objective)
-                rp = out_t.result
-                # the whole grid point is replaced by the refined result —
-                # prices/iters/converged must come from it too, or the
-                # returned Sweep mixes refined trades with the unrefined
-                # batch solve's duals (round-4 advisor finding)
-                prices[t] = np.asarray(rp.prices)
-                iters_arr[t] = iters_arr[t] + out_t.iters
-                conv_arr[t] = bool(out_t.achieved)
-                for name, b in solver.compiled.buckets.items():
-                    for r, pid in enumerate(b.pool_ids):
-                        k = int(solver.compiled.widths[pid])
-                        per_pool[pid][:, t] = (
-                            np.asarray(rp.lambdas[name])[:k, r]
-                            - np.asarray(rp.deltas[name])[:k, r]
-                        )
-                continue
-            certs.append(
-                _certify(
-                    solver.compiled,
-                    obj_t,
-                    {k: v[t] for k, v in dbat.items()},
-                    {k: v[t] for k, v in lbat.items()},
-                    prices[t],
-                    psi_claimed=psi_b[t],
-                )
+        hi_cert = np.full((T, n), np.inf)
+        out = refine_sweep(
+            solver.compiled, c, lo, hi_cert, res, target_gap=refine_to,
+        )
+        certs = list(out.certificates)
+        utilities[:] = out.objectives
+        prices[:] = out.prices
+        iters_arr[:] = iters_arr + out.iters
+        conv_arr[:] = out.achieved
+        for name, b in solver.compiled.buckets.items():
+            D = out.deltas[name]  # (T, K, m)
+            L = out.lambdas[name]
+            for r, pid in enumerate(b.pool_ids):
+                k = int(solver.compiled.widths[pid])
+                per_pool[pid][:, :] = (L[:, :k, r] - D[:, :k, r]).T
+        # rare stragglers (degenerate re-centers) fall back to the
+        # per-point path
+        for t in np.flatnonzero(~out.achieved):
+            obj_t = Objective(c[t], lo=lo[t], hi=np.full(n, np.inf))
+            point = _RR(
+                objective=utilities[t],
+                psi=np.zeros(n),  # refine_device recomputes from trades
+                prices=prices[t],
+                deltas={k_: v[t] for k_, v in out.deltas.items()},
+                lambdas={k_: v[t] for k_, v in out.lambdas.items()},
+                iters=iters_arr[t], r_norm=np.zeros(()),
+                s_norm=np.zeros(()), converged=np.asarray(False),
+                rho_final=np.asarray(res.rho_final)[t],
             )
+            out_t = refine_device(
+                solver.compiled, obj_t, point, target_gap=refine_to
+            )
+            certs[t] = out_t.certificate
+            utilities[t] = float(out_t.certificate.objective)
+            rp = out_t.result
+            prices[t] = np.asarray(rp.prices)
+            conv_arr[t] = bool(out_t.achieved)
+            for name, b in solver.compiled.buckets.items():
+                for r, pid in enumerate(b.pool_ids):
+                    k = int(solver.compiled.widths[pid])
+                    per_pool[pid][:, t] = (
+                        np.asarray(rp.lambdas[name])[:k, r]
+                        - np.asarray(rp.deltas[name])[:k, r]
+                    )
+    elif certify:
+        # one batched f64 certificate pass over the whole grid (round 5;
+        # was a serial per-point certify loop)
+        from .solver.certify import certify_batch
+
+        hi_cert = np.full((T, n), np.inf)
+        certs = certify_batch(
+            solver.compiled, c, lo, hi_cert,
+            dbat, lbat, prices, psi_claimed=np.asarray(res.psi),
+        )
 
     return Sweep(
         amounts=amounts,

@@ -316,13 +316,22 @@ class CustomUtility:
         import jax
         import jax.numpy as jnp
 
+        # scoped x64: without it JAX silently truncates the f64 input to
+        # f32 and the host "ground-truth" evaluation carries 1e-7-level
+        # noise (matters for 1e-6-class certificate gates)
         with jax.default_device(jax.devices("cpu")[0]):
-            return float(self.fn(jnp.asarray(np.asarray(psi, np.float64))))
+            with jax.enable_x64():
+                return float(
+                    self.fn(jnp.asarray(np.asarray(psi, np.float64)))
+                )
 
     def grad(self, psi) -> np.ndarray:
         import jax
         import jax.numpy as jnp
 
         with jax.default_device(jax.devices("cpu")[0]):
-            g = jax.grad(self.fn)(jnp.asarray(np.asarray(psi, np.float64)))
-            return np.asarray(g)
+            with jax.enable_x64():
+                g = jax.grad(self.fn)(
+                    jnp.asarray(np.asarray(psi, np.float64))
+                )
+                return np.asarray(g)

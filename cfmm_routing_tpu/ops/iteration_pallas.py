@@ -77,7 +77,7 @@ from .projection_pallas import (
     _relu,
 )
 
-__all__ = ["fused_step", "fused_step_delta"]
+__all__ = ["fused_step", "fused_step_delta", "fused_step_merged"]
 
 _LANES = 128
 # Target VMEM footprint per grid step.  The scoped limit is 16 MB, but the
@@ -335,14 +335,33 @@ def fused_step(
 
 
 def _log1p(u):
-    """Mosaic has no log1p lowering; this is the classic compensated
-    form (Goldberg/HP-15C): w = 1+u rounds, but log(w) * u / (w - 1)
-    recovers nearly full relative precision because the rounding of w
-    cancels between log(w) and (w - 1).  Exact where 1+u rounds to 1."""
-    w = 1.0 + u
-    den = w - 1.0
-    safe = jnp.where(den == 0.0, 1.0, den)
-    return jnp.where(den == 0.0, u, jnp.log(w) * (u / safe))
+    """Mosaic has no log1p lowering.  The textbook compensated form
+    log(1+u) * u / ((1+u) - 1) is NOT safe under a compiler: XLA
+    algebraically simplifies (1+u) - 1 to u, silently degrading it to a
+    plain log(1+u) with ~1e-7 ABSOLUTE error — which re-introduces
+    exactly the cancellation the delta re-centering exists to remove
+    (measured: fused-vs-classic delta trajectory parity degraded from
+    1e-5 to 1e-2).  Use an explicit split instead: a 7-term alternating
+    series below |u| <= 0.1 (relative error < 1.2e-8, full f32
+    precision on O(eps)-sized arguments) and log(1+u) above (no
+    cancellation there)."""
+    small = jnp.abs(u) <= 0.1
+    us = jnp.where(small, u, 0.0)  # keep the series' Horner chain finite
+    series = us * (
+        1.0
+        + us
+        * (
+            -0.5
+            + us
+            * (
+                1.0 / 3.0
+                + us
+                * (-0.25 + us * (0.2 + us * (-1.0 / 6.0 + us / 7.0)))
+            )
+        )
+    )
+    big = jnp.log(jnp.maximum(1.0 + u, jnp.float32(1e-30)))
+    return jnp.where(small, series, big)
 
 
 def _eval_gm_delta_channels(mu, ch, gamma, needs_floor):
@@ -610,3 +629,204 @@ def fused_step_delta(
     B = jnp.stack([out[3 * K + c].reshape(m) for c in range(K)])
     y = out[4 * K].reshape(n_pad)
     return sDn, sLn, A, B, y
+
+
+# ---- ONE launch per K-group: per-tile bucket dispatch ----------------------
+# Round-4 measured the fused floor (~0.29 ms/iter at zero root-find trips)
+# as kernel-launch/pipeline-bound across 5 bucket launches.  This kernel
+# merges every same-channel-count bucket into ONE pallas_call whose grid
+# spans the concatenated pool axis; a scalar-prefetch table assigns each
+# tile its bucket class (0: gm, 1: floored gm, 2: cs) and `pl.when`
+# branches run the fully-specialized projection for that tile — distinct
+# from the round-4 arithmetic gm-bucket merge (measured negative: the
+# floor-clamp VPU cost ran on every pool), here a tile pays only its own
+# class's arithmetic.  5 launches/iteration become 2 at the 100k bench
+# shape (K=2: gm2+gm2f+cs2f, K=4: gm4+cs4f).
+
+
+def _merged_kernel(K, cfg, alpha, H, refs):
+    """refs in: bid_ref(SMEM), sD_c[K], sL_c[K], ids_c[K], R_c[K], w_c[K],
+    sh_c[K], mask_c[K], gamma, logk0, k0, v2d(H,128)
+    out: sD'_c[K], sL'_c[K], D_c[K], L_c[K], y2d(H,128)"""
+    bid_ref = refs[0]
+    nin = 7 * K + 4
+    ins, outs = refs[1:1 + nin], refs[1 + nin:]
+    sD = [ins[c][:] for c in range(K)]
+    sL = [ins[K + c][:] for c in range(K)]
+    IDS = [ins[2 * K + c][:] for c in range(K)]
+    R = [ins[3 * K + c][:] for c in range(K)]
+    W = [ins[4 * K + c][:] for c in range(K)]
+    SH = [ins[5 * K + c][:] for c in range(K)]
+    M = [ins[6 * K + c][:] for c in range(K)]
+    gamma = ins[7 * K][:]
+    logk0 = ins[7 * K + 1][:]
+    k0 = ins[7 * K + 2][:]
+    v2d = ins[7 * K + 3][:]
+
+    rows, lanes = sD[0].shape
+    T = rows * lanes
+    a = jnp.float32(alpha)
+    bid = bid_ref[pl.program_id(0)]
+
+    radix = []
+    P, Q = [], []
+    for c in range(K):
+        ids_row = IDS[c].reshape(1, T)
+        lo_row = jax.lax.rem(ids_row, jnp.int32(_LANES))
+        hi_row = jax.lax.div(ids_row, jnp.int32(_LANES))
+        oh_lo = (
+            jax.lax.broadcasted_iota(jnp.int32, (_LANES, T), 0) == lo_row
+        ).astype(jnp.float32)
+        oh_hi = (
+            jax.lax.broadcasted_iota(jnp.int32, (H, T), 0) == hi_row
+        ).astype(jnp.float32)
+        radix.append((oh_lo, oh_hi))
+        Mrow = jax.lax.dot_general(
+            v2d, oh_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        ve = jnp.sum(oh_hi * Mrow, axis=0, keepdims=True)
+        ve = ve.reshape(rows, lanes) * M[c]
+        P.append(sD[c] + ve)
+        Q.append(sL[c] - ve)
+
+    y_ref = outs[4 * K]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    def emit(Ds, Ls):
+        y_acc = jnp.zeros((H, _LANES), jnp.float32)
+        for c in range(K):
+            D, L = Ds[c], Ls[c]
+            outs[c][:] = a * D + (1.0 - a) * sD[c]
+            outs[K + c][:] = a * L + (1.0 - a) * sL[c]
+            outs[2 * K + c][:] = D
+            outs[3 * K + c][:] = L
+            val = a * (L - D) + (1.0 - a) * (sL[c] - sD[c])
+            oh_lo, oh_hi = radix[c]
+            G = oh_hi * val.reshape(1, T)
+            y_acc = y_acc + jax.lax.dot_general(
+                G, oh_lo, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        y_ref[:] += y_acc
+
+    def gm_body(needs_floor):
+        ch = [(P[c], Q[c], R[c] + SH[c], W[c], SH[c], M[c]) for c in range(K)]
+        mu_hi = _gm_bracket(ch, gamma, k0)
+
+        def h_of_mu(mu):
+            return _eval_gm_channels(mu, ch, gamma, k0, needs_floor)[2]
+
+        mu = _root_find_body(h_of_mu, mu_hi, logk0, cfg)
+        Ds, Ls, _ = _eval_gm_channels(mu, ch, gamma, k0, needs_floor)
+        emit(Ds, Ls)
+
+    @pl.when(bid == 0)
+    def _():
+        gm_body(False)
+
+    @pl.when(bid == 1)
+    def _():
+        gm_body(True)
+
+    @pl.when(bid == 2)
+    def _():
+        ch = [(P[c], Q[c], R[c], W[c], SH[c], M[c]) for c in range(K)]
+        mu_hi = None
+        for (p, q, R_, w, s, mask) in ch:
+            w_safe = jnp.where(mask > 0, w, 1.0)
+            cand = _relu(q) * mask / w_safe
+            mu_hi = cand if mu_hi is None else jnp.maximum(mu_hi, cand)
+        mu_hi = mu_hi + 1.0
+
+        def h_of_mu(mu):
+            return _eval_cs_channels(mu, ch, gamma, k0)[2]
+
+        mu = _root_find_body(h_of_mu, mu_hi, k0, cfg)
+        Ds, Ls, _ = _eval_cs_channels(mu, ch, gamma, k0)
+        emit(Ds, Ls)
+
+
+def fused_step_merged(
+    sD, sL, v, g, tile_rows: int,
+    alpha: float,
+    cfg: ProjectionConfig = ProjectionConfig(),
+    interpret: bool = False,
+):
+    """One fused half-iteration for one MERGED K-group.
+
+    ``g``: the group dict from ``AdmmSolver._merged_groups`` — the usual
+    per-bucket planes concatenated along the pool axis plus ``bid``, the
+    int32 per-tile bucket-class table (scalar-prefetched into SMEM).
+    ``tile_rows`` is the group's static tile extent (must divide every
+    member bucket's row count so no tile straddles a bucket boundary).
+    Returns (sD', sL', D, L, y_partial(n_pad,)).
+    """
+    K, m = sD.shape
+    assert m % (_LANES * tile_rows) == 0
+    n_pad = v.shape[0]
+    H = n_pad // _LANES
+    rows = m // _LANES
+    grid = (rows // tile_rows,)
+
+    def chan(a):
+        return a.reshape(rows, _LANES)
+
+    inputs = []
+    for arr in (sD, sL):
+        inputs.extend(chan(arr[c]) for c in range(K))
+    inputs.extend(chan(g["asset"][c]) for c in range(K))
+    for key in ("R", "w", "s", "mask"):
+        inputs.extend(chan(g[key][c]) for c in range(K))
+    inputs.extend([chan(g["gamma"]), chan(g["logk0"]), chan(g["k0"])])
+    inputs.append(v.reshape(H, _LANES))
+
+    # with scalar prefetch, every index_map takes (i, scalar_ref)
+    block = pl.BlockSpec(
+        (tile_rows, _LANES), lambda i, b: (i, 0), memory_space=pltpu.VMEM
+    )
+    vec_block = pl.BlockSpec(
+        (H, _LANES), lambda i, b: (0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [block] * (7 * K + 3) + [vec_block]
+    out_specs = [block] * (4 * K) + [vec_block]
+    out_shape = [jax.ShapeDtypeStruct((rows, _LANES), sD.dtype)] * (4 * K) + [
+        jax.ShapeDtypeStruct((H, _LANES), sD.dtype)
+    ]
+
+    kernel = functools.partial(_merged_kernel, K, cfg, alpha, H)
+
+    def kfn(*refs):
+        kernel(refs)
+
+    E = K * m
+    steps = cfg.n_bisect + cfg.n_polish
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    out = pl.pallas_call(
+        kfn,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * E * n_pad + 60 * steps * E,
+            bytes_accessed=4 * (11 * E + 2 * n_pad),
+            transcendentals=(steps + 2) * E,
+        ),
+    )(g["bid"], *inputs)
+
+    sDn = jnp.stack([out[c].reshape(m) for c in range(K)])
+    sLn = jnp.stack([out[K + c].reshape(m) for c in range(K)])
+    D = jnp.stack([out[2 * K + c].reshape(m) for c in range(K)])
+    L = jnp.stack([out[3 * K + c].reshape(m) for c in range(K)])
+    y = out[4 * K].reshape(n_pad)
+    return sDn, sLn, D, L, y

@@ -693,11 +693,16 @@ class ShardedDeltaAdmmSolver(ShardedAdmmSolver):
         its local pool shard (``DeltaAdmmSolver._iterate_fused`` under
         shard_map) — the refinement stage at the base solve's sharded
         throughput; per-device pool counts must be lane-aligned."""
+        from ..ops.prox import DeltaCustomUtility
         from ..solver.refine_device import _prep_delta_solve
 
         c, lo, hi, util, start_nu = _prep_delta_solve(
             objective, nu0, rho, self.dtype
         )
+        if isinstance(util, DeltaCustomUtility):
+            return self._solve_delta_custom(
+                bdict, c, lo, hi, util, start_nu, rho, int(max_iters), warm
+            )
         if fused:
             return self._solve_delta_fused(
                 bdict, c, lo, hi, util, start_nu, rho, int(max_iters),
@@ -769,6 +774,46 @@ class ShardedDeltaAdmmSolver(ShardedAdmmSolver):
                 out,
             )
         return out
+
+    def _solve_delta_custom(
+        self, bdict, c, lo, hi, dc, start_nu, rho, max_iters: int, warm
+    ) -> RouteResult:
+        """Sharded re-centered CustomUtility correction solve: the
+        DeltaCustomUtility pytree rides a traced argument (its FISTA
+        prox runs replicated per device after the consensus psum, like
+        the classic sharded CustomUtility path)."""
+        key = ("delta_custom", warm is not None)
+        prog = self._progs.get(key)
+        if prog is None:
+            specs = self._delta_specs(bdict)
+            base = (specs, P(), P(), P(), P(), P())
+            if warm is not None:
+                def _s(buckets, c_, lo_, hi_, rho_, mi, z0, nu0_, dc_):
+                    return self.inner._solve_impl(
+                        c_, lo_, hi_, rho_, z0=z0, nu0=nu0_, custom=dc_,
+                        buckets=buckets, max_iters=mi,
+                    )
+
+                in_specs = base + (self._z_specs, P(), P())
+            else:
+                def _s(buckets, c_, lo_, hi_, rho_, mi, nu0_, dc_):
+                    return self.inner._solve_impl(
+                        c_, lo_, hi_, rho_, nu0=nu0_, custom=dc_,
+                        buckets=buckets, max_iters=mi,
+                    )
+
+                in_specs = base + (P(), P())
+            prog = self._shard(_s, in_specs, self._result_specs)
+            self._progs[key] = prog
+        mi = jnp.asarray(int(max_iters), jnp.int32)
+        args = (bdict, c, lo, hi, jnp.asarray(rho, self.dtype), mi)
+        if warm is not None:
+            z0, nu0_arr = self.inner.warm_state(warm, rho)
+            args = args + (z0, nu0_arr)
+        else:
+            args = args + (jnp.asarray(start_nu, self.dtype),)
+        args = args + (dc,)
+        return self._gather_if_multiprocess(prog(*args))
 
     def _solve_delta_fused(
         self, bdict, c, lo, hi, util, start_nu, rho, n_iters: int,

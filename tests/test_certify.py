@@ -109,6 +109,67 @@ def test_api_certify_flag():
     assert "rel_gap" in route.certificate.summary()
 
 
+def test_certify_batch_matches_per_point():
+    """certify_batch == T serial certify calls, field for field (same
+    math, vectorized over the grid axis; round-5 batched sweep path)."""
+    import jax.numpy as jnp
+
+    from cfmm_routing_tpu.solver.admm import AdmmOptions, AdmmSolver
+    from cfmm_routing_tpu.solver.certify import certify, certify_batch
+    from cfmm_routing_tpu.solver.compiler import compile_spec
+    from cfmm_routing_tpu.models.reference_instances import (
+        two_asset_instance,
+    )
+
+    spec, _ = two_asset_instance()
+    n = spec.n_assets
+    T = 5
+    amounts = np.linspace(0.0, 40.0, T)
+    c = np.zeros((T, n))
+    c[:, 2] = 1.0
+    lo = np.zeros((T, n))
+    lo[:, 0] = -amounts
+    hi_solve = np.full((T, n), np.finfo(np.float32).max / 4)
+    hi = np.full((T, n), np.inf)
+    solver = AdmmSolver(
+        compile_spec(spec), dtype=jnp.float32,
+        options=AdmmOptions(max_iters=1500, eps_abs=1e-6, eps_rel=1e-6),
+    )
+    res = solver.solve_batch(c, lo, hi_solve)
+    dbat = {k: np.asarray(v) for k, v in res.deltas.items()}
+    lbat = {k: np.asarray(v) for k, v in res.lambdas.items()}
+    prices = np.asarray(res.prices)
+    psi = np.asarray(res.psi)
+
+    batch = certify_batch(
+        solver.compiled, c, lo, hi, dbat, lbat, prices, psi_claimed=psi
+    )
+    from cfmm_routing_tpu.models.utility import Objective
+
+    for t in range(T):
+        one = certify(
+            solver.compiled,
+            Objective(c[t], lo=lo[t], hi=hi[t]),
+            {k: v[t] for k, v in dbat.items()},
+            {k: v[t] for k, v in lbat.items()},
+            prices[t],
+            psi_claimed=psi[t],
+        )
+        b = batch[t]
+        assert abs(b.objective - one.objective) <= 1e-12 * max(
+            1.0, abs(one.objective)
+        )
+        assert abs(b.dual_bound - one.dual_bound) <= 1e-9 * max(
+            1.0, abs(one.dual_bound)
+        )
+        assert abs(b.gap_rel - one.gap_rel) <= 1e-12
+        for f in (
+            "phi_violation", "nonneg_violation", "floor_violation",
+            "box_violation", "psi_consistency",
+        ):
+            assert abs(getattr(b, f) - getattr(one, f)) <= 1e-12, f
+
+
 def test_feasibility_rel_keeps_phi_relative():
     """phi_violation is already relative (log-domain for gm, k0-normalized
     for cs); a large trade scale must NOT dilute it — only the absolute
