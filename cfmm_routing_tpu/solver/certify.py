@@ -83,7 +83,8 @@ class Certificate:
     box_violation: float  # max_j distance of psi_hat from [lo, hi]
     psi_consistency: float  # max_j |psi_solver - psi_hat|
     prices: np.ndarray  # the repaired price vector the bound was evaluated at
-    psi_scale: float = 1.0  # max_j |psi_hat| — the natural feasibility scale
+    psi_scale: float = 1.0  # max_j |psi_hat| — global trade scale
+    feasibility_rel_value: Optional[float] = None  # per-asset normalized
 
     @property
     def feasibility(self) -> float:
@@ -100,12 +101,18 @@ class Certificate:
         convention): a 1e-2 absolute slack on a 1e4-sized psi is a 1e-6
         relative violation.
 
-        Only the ABSOLUTE components (nonneg / floor / box, measured in
-        token units) are divided by the trade scale.  ``phi_violation``
-        is already relative — log-domain for geo-mean pools, normalized
-        by k0 for constant-sum — so scaling it again by psi_scale would
-        let a large-trade network certify with a genuinely violated pool
-        invariant."""
+        Round 5: the ABSOLUTE components (nonneg / floor / box, measured
+        in token units) are normalized PER ASSET by that asset's own
+        magnitude — max(1, |psi_j|, gross volume_j) — the way ECOS/SCS
+        normalize residuals per row.  A global max-|psi| yardstick
+        mis-judges mixed-unit networks: the adversarial-scale fuzz found
+        instances where a violation of 1.3e-7 RELATIVE to its asset's
+        9e6-unit gross volume read as 0.49 against the 2.5-unit global
+        net-trade scale.  ``phi_violation`` is already relative —
+        log-domain for geo-mean pools, normalized by k0 for constant-sum
+        — so it is never rescaled."""
+        if self.feasibility_rel_value is not None:
+            return self.feasibility_rel_value
         abs_part = max(
             self.nonneg_violation, self.floor_violation, self.box_violation
         )
@@ -663,6 +670,9 @@ def certify_batch(
     nu_ext = np.concatenate([nu, np.zeros((T, 1))], axis=1)
 
     psi_hat = np.zeros((T, n + 1))
+    gross = np.zeros((T, n + 1))
+    nneg_a = np.zeros((T, n + 1))
+    floor_a = np.zeros((T, n + 1))
     phi_viol = np.zeros(T)
     nneg_viol = np.zeros(T)
     floor_viol = np.zeros(T)
@@ -673,10 +683,9 @@ def certify_batch(
         mask = b.mask[None]
         g = b.gamma[:, 0][None, :, None]
         x = b.reserves[None] + g * D - L
+        nneg_slot = (np.maximum(-D, -L).clip(min=0.0) * mask).reshape(T, -1)
         nneg_viol = np.maximum(
-            nneg_viol,
-            np.max((np.maximum(-D, -L) * mask).reshape(T, -1), axis=1,
-                   initial=0.0),
+            nneg_viol, np.max(nneg_slot, axis=1, initial=0.0)
         )
         if b.kind == "gm":
             y = np.where(mask > 0, np.maximum(x + b.shift[None], _TINY), 1.0)
@@ -693,16 +702,25 @@ def certify_batch(
                     axis=1, initial=0.0,
                 ),
             )
-        if b.needs_floor:
-            floor_viol = np.maximum(
-                floor_viol,
-                np.max((-x * mask).reshape(T, -1), axis=1, initial=0.0),
-            )
         flat_ids = b.asset.reshape(-1)
-        vals = ((L - D) * mask).reshape(T, -1)
         idx = flat_ids[None, :] + (n + 1) * np.arange(T)[:, None]
+        np.maximum.at(nneg_a.reshape(-1), idx.reshape(-1),
+                      nneg_slot.reshape(-1))
+        if b.needs_floor:
+            floor_slot = ((-x).clip(min=0.0) * mask).reshape(T, -1)
+            floor_viol = np.maximum(
+                floor_viol, np.max(floor_slot, axis=1, initial=0.0)
+            )
+            np.maximum.at(floor_a.reshape(-1), idx.reshape(-1),
+                          floor_slot.reshape(-1))
+        vals = ((L - D) * mask).reshape(T, -1)
         psi_hat += np.bincount(
             idx.reshape(-1), weights=vals.reshape(-1),
+            minlength=T * (n + 1),
+        ).reshape(T, n + 1)
+        gross += np.bincount(
+            idx.reshape(-1),
+            weights=((np.abs(D) + np.abs(L)) * mask).reshape(-1),
             minlength=T * (n + 1),
         ).reshape(T, n + 1)
 
@@ -727,9 +745,16 @@ def certify_batch(
             )
 
     psi_hat = psi_hat[:, :n]
-    box_viol = np.max(
-        np.maximum(lo - psi_hat, psi_hat - hi).clip(min=0.0), axis=1,
-        initial=0.0,
+    box_a = np.maximum(lo - psi_hat, psi_hat - hi).clip(min=0.0)
+    box_viol = np.max(box_a, axis=1, initial=0.0)
+    row_scale = np.maximum(1.0, np.maximum(np.abs(psi_hat), gross[:, :n]))
+    feas_rel = np.maximum(
+        phi_viol,
+        np.max(
+            np.maximum(nneg_a[:, :n], np.maximum(floor_a[:, :n], box_a))
+            / row_scale,
+            axis=1, initial=0.0,
+        ),
     )
     cons = (
         np.max(np.abs(np.asarray(psi_claimed, np.float64) - psi_hat), axis=1)
@@ -767,6 +792,7 @@ def certify_batch(
                 psi_consistency=float(cons[t]),
                 prices=nu[t],
                 psi_scale=float(np.max(np.abs(psi_hat[t]), initial=0.0)),
+                feasibility_rel_value=float(feas_rel[t]),
             )
         )
     return out
@@ -865,6 +891,9 @@ def certify(
     hi = np.asarray(objective.hi, np.float64)
 
     psi_hat = np.zeros(n + 1)
+    gross = np.zeros(n + 1)  # per-asset |D|+|L| volume (row scales)
+    nneg_a = np.zeros(n + 1)  # per-asset max absolute violations
+    floor_a = np.zeros(n + 1)
     phi_viol = 0.0
     nneg_viol = 0.0
     floor_viol = 0.0
@@ -884,10 +913,10 @@ def certify(
         mask = b.mask
         g = b.gamma[:, 0]
         x = b.reserves + g[:, None] * D - L
-        nneg_viol = max(
-            nneg_viol,
-            float(np.max(np.maximum(-D, -L) * mask, initial=0.0)),
-        )
+        ids = b.asset.reshape(-1)
+        nneg_slot = (np.maximum(-D, -L).clip(min=0.0) * mask).reshape(-1)
+        nneg_viol = max(nneg_viol, float(np.max(nneg_slot, initial=0.0)))
+        np.maximum.at(nneg_a, ids, nneg_slot)
         if b.kind == "gm":
             y = np.where(mask > 0, np.maximum(x + b.shift, _TINY), 1.0)
             h = np.sum(b.weights * np.log(y), axis=1)
@@ -903,10 +932,11 @@ def certify(
                 ),
             )
         if b.needs_floor:
-            floor_viol = max(
-                floor_viol, float(np.max(-x * mask, initial=0.0))
-            )
-        np.add.at(psi_hat, b.asset.reshape(-1), ((L - D) * mask).reshape(-1))
+            floor_slot = ((-x).clip(min=0.0) * mask).reshape(-1)
+            floor_viol = max(floor_viol, float(np.max(floor_slot, initial=0.0)))
+            np.maximum.at(floor_a, ids, floor_slot)
+        np.add.at(psi_hat, ids, ((L - D) * mask).reshape(-1))
+        np.add.at(gross, ids, ((np.abs(D) + np.abs(L)) * mask).reshape(-1))
 
         nu_s = nu_ext[b.asset]
         if b.kind == "gm":
@@ -919,8 +949,22 @@ def certify(
             )
 
     psi_hat = psi_hat[:n]
-    box_viol = float(
-        np.max(np.maximum(lo - psi_hat, psi_hat - hi).clip(min=0.0), initial=0.0)
+    box_a = np.maximum(lo - psi_hat, psi_hat - hi).clip(min=0.0)
+    box_viol = float(np.max(box_a, initial=0.0))
+    # per-asset row scales (ECOS/SCS-style): an asset's violations are
+    # judged against ITS OWN magnitude, not the global max net trade
+    row_scale = np.maximum(
+        1.0, np.maximum(np.abs(psi_hat), gross[:n])
+    )
+    feas_rel = max(
+        phi_viol,
+        float(
+            np.max(
+                np.maximum(nneg_a[:n], np.maximum(floor_a[:n], box_a))
+                / row_scale,
+                initial=0.0,
+            )
+        ),
     )
     consistency = (
         float(np.max(np.abs(np.asarray(psi_claimed, np.float64) - psi_hat)))
@@ -950,4 +994,5 @@ def certify(
         psi_consistency=consistency,
         prices=nu,
         psi_scale=float(np.max(np.abs(psi_hat), initial=0.0)),
+        feasibility_rel_value=feas_rel,
     )

@@ -83,9 +83,9 @@ class DeviceGate:
         dt = solver.dtype
         zero = jnp.zeros((), dt)
         phi = zero
-        nneg = zero
-        floor = zero
         psi = jnp.zeros((solver.n,), dt)
+        gross = jnp.zeros((solver.n,), dt)
+        per_bucket = []
         for name, arrs in solver.buckets.items():
             kind, needs_floor = solver._meta[name]
             nu_e = solver._bcast_nu(nu, name)
@@ -94,9 +94,6 @@ class DeviceGate:
             ds = self._dplanes[name]
             mask = arrs["mask"]
             gamma = arrs["gamma"][None, :]
-            nneg = jnp.maximum(
-                nneg, jnp.max(jnp.maximum(-D, -L) * ds * mask)
-            )
             x = arrs["R"] + gamma * D - L
             if kind == "gm":
                 y = jnp.where(
@@ -117,22 +114,39 @@ class DeviceGate:
                         (arrs["k0"] - tot) / jnp.maximum(arrs["k0"], 1.0)
                     ),
                 )
-            if needs_floor:
-                floor = jnp.maximum(floor, jnp.max(-x * ds * mask))
             psi = psi + solver._reduce_edges((L - D) * mask, name)
-        psi = solver._psum(psi)
-        psi_orig = psi * self._dvec
-        box = jnp.max(
-            jnp.maximum(
-                jax.nn.relu(self._lo - psi_orig),
-                jax.nn.relu(psi_orig - self._hi),
+            gross = gross + solver._reduce_edges(
+                (jnp.abs(D) + jnp.abs(L)) * ds * mask, name
             )
+            per_bucket.append((name, D, L, x, ds, mask, needs_floor))
+        psi = solver._psum(psi)
+        gross = solver._psum(gross)
+        psi_orig = psi * self._dvec
+        # per-asset row scales, mirroring certify(): violations judged
+        # against the asset's OWN magnitude (|psi_j| or gross volume)
+        scale = jnp.maximum(
+            1.0, jnp.maximum(jnp.abs(psi_orig), gross)
         )
+        box_a = jnp.maximum(
+            jax.nn.relu(self._lo - psi_orig),
+            jax.nn.relu(psi_orig - self._hi),
+        )
+        feas_abs_rel = jnp.max(box_a / scale)
+        for name, D, L, x, ds, mask, needs_floor in per_bucket:
+            se = solver._bcast_nu(scale, name)
+            se = jnp.where(mask > 0, jnp.maximum(se, 1.0), 1.0)
+            nneg_slot = jax.nn.relu(jnp.maximum(-D, -L)) * ds * mask
+            feas_abs_rel = jnp.maximum(feas_abs_rel, jnp.max(nneg_slot / se))
+            if needs_floor:
+                floor_slot = jax.nn.relu(-x) * ds * mask
+                feas_abs_rel = jnp.maximum(
+                    feas_abs_rel, jnp.max(floor_slot / se)
+                )
         obj = jnp.sum(self._c * psi_orig)
         psi_scale = jnp.max(jnp.abs(psi_orig))
         prices_orig = rho * nu / self._dvec
         return dict(
-            phi=phi, nneg=nneg, floor=floor, box=box, obj=obj,
+            phi=phi, feas_abs_rel=feas_abs_rel, obj=obj,
             psi_scale=psi_scale, prices=prices_orig,
         )
 
@@ -157,11 +171,7 @@ class DeviceGate:
         obj = float(out["obj"])
         gap = dual - obj
         gap_rel = gap / max(1.0, abs(obj), abs(dual))
-        psi_scale = float(out["psi_scale"])
-        abs_part = max(
-            float(out["nneg"]), float(out["floor"]), float(out["box"])
-        )
-        feas_rel = max(float(out["phi"]), abs_part / max(1.0, psi_scale))
+        feas_rel = max(float(out["phi"]), float(out["feas_abs_rel"]))
         return GateEstimate(
             gap_rel=gap_rel, feasibility_rel=feas_rel, objective=obj,
             dual=dual,
