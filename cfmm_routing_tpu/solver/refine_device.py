@@ -791,7 +791,7 @@ def refine_sweep(
     target_gap: float = 1e-6,
     options: Optional[AdmmOptions] = None,
     solver: Optional[DeltaAdmmSolver] = None,
-    max_passes: int = 3,
+    max_passes: int = 4,
     iters_per_pass: int = 1000,
     eps_factor: float = 10.0,
 ) -> SweepRefineResult:
@@ -841,11 +841,20 @@ def refine_sweep(
     )
     total = 0
     fmax = np.finfo(np.float32).max / 4
+    # per-point penalty regime (mirror of refine_device's two-mode
+    # ladder): points start on the base penalty; a live point whose
+    # score fails to halve in a pass switches to the eps-scaled regime
+    # (and back), which grinds positive gaps the base penalty stalls on
+    use_eps = np.zeros(T, bool)
+    prev_scores = np.full(T, np.inf)
     for _ in range(int(max_passes)):
         scores = np.array([_score(ct) for ct in certs])
         live = scores > target_gap
         if not live.any():
             break
+        flip = live & (scores > 0.5 * prev_scores)
+        use_eps[flip] = ~use_eps[flip]
+        prev_scores = scores.copy()
         # per-point correction scale from that point's trades + score
         scale = np.ones(T)
         for k in deltas:
@@ -859,7 +868,11 @@ def refine_sweep(
             eps_factor * np.maximum(scores, 1e-12) * scale,
             1e-10 * scale, np.inf,
         )
-        rho = np.clip(rho_f, 0.25, 4.0)
+        rho = np.where(
+            use_eps,
+            np.clip(eps, 1e-6, 4.0),
+            np.clip(rho_f, 0.25, 4.0),
+        )
         nu0f = (prices / rho[:, None]).astype(np.float32).astype(np.float64)
         bdict, axes, min_x0 = solver.delta_buckets_batch(
             deltas, lambdas, eps, nu0f
@@ -907,6 +920,32 @@ def refine_sweep(
                     lambdas[k][t] = cand_L[k][t]
         if not improved:
             break
+    # near-miss stragglers whose blocker is pure dual looseness get the
+    # per-point L-BFGS price polish (cheap at n-small; mirrors the
+    # single-route path)
+    for t in range(T):
+        ct = certs[t]
+        if _score(ct) <= target_gap:
+            continue
+        if not (
+            0.0 < ct.gap_rel <= max(20.0 * target_gap, 1e-5)
+            and ct.feasibility_rel <= target_gap
+        ):
+            continue
+        obj_t = Objective(c[t], lo=lo[t], hi=hi[t])
+        try:
+            nu_p = polish_prices(compiled, obj_t, prices[t], max_evals=60)
+            cert_p = certify(
+                compiled, obj_t,
+                {k: v[t] for k, v in deltas.items()},
+                {k: v[t] for k, v in lambdas.items()},
+                nu_p, psi_claimed=psi0[t],
+            )
+            if cert_p.gap_abs < ct.gap_abs:
+                certs[t] = cert_p
+                prices[t] = cert_p.prices
+        except Exception:
+            pass  # the polish is an accelerator, never load-bearing
     achieved = np.array([_score(ct) <= target_gap for ct in certs])
     return SweepRefineResult(
         deltas=deltas, lambdas=lambdas, prices=prices,
