@@ -429,12 +429,14 @@ def run_config(m, n_assets, B, fused):
         lo_s = np.tile(np.asarray(eq.objective.lo)[None, :], (Tc, 1))
         hi_s = np.full((Tc, solver.n), np.inf)
         # the delta refinement needs f32-floor entries (same contract as
-        # the single-route path): solve each point to residual 1e-7 with
-        # per-point rho adaptation, budgeted at 2x the single-route
-        # handoff iteration count
+        # the single-route path): solve each point to residual 1e-6 with
+        # per-point rho adaptation.  Measured at T=64/1k pools: 1e-6
+        # entries certify 64/64 in 9.6 s solve + 25.7 s refine; 1e-5
+        # entries leave refinement 16k iterations and only 33/64; 1e-7
+        # entries just shift 4 s from refine into the solve
         opts_s = AdmmOptions(
-            max_iters=max(2 * row["device_iters"], 2000),
-            eps_abs=1e-7, eps_rel=1e-7,
+            max_iters=max(2 * row["device_iters"], 4000),
+            eps_abs=1e-6, eps_rel=1e-6,
         )
         solver_s = AdmmSolver(compiled, dtype=jnp.float32, options=opts_s)
         lo32 = np.maximum(lo_s, -3e38)

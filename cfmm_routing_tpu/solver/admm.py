@@ -276,7 +276,14 @@ class AdmmSolver:
         K, m = arrs["mask"].shape
         if self.consensus == "onehot":
             oh = self._onehot(arrs["asset"])
-            out = jnp.einsum("bcn,n->bc", oh, nu).reshape(-1)[: K * m]
+            # precision=HIGHEST: unbatched, XLA keeps this matvec in f32 on
+            # the VPU, but under vmap (solve_batch) it becomes a true MXU
+            # matmul whose DEFAULT precision truncates nu to bf16 — measured:
+            # the vmapped solve stalls at r ~ 0.5 (4 decades above the
+            # single-solve floor) until the contraction is forced to f32
+            out = jnp.einsum(
+                "bcn,n->bc", oh, nu, precision=jax.lax.Precision.HIGHEST
+            ).reshape(-1)[: K * m]
             return out.reshape(K, m) * arrs["mask"]
         if self.consensus == "radix":
             R = self._RADIX
@@ -285,8 +292,12 @@ class AdmmSolver:
                 [nu, jnp.zeros(H * R - self.n, self.dtype)]
             ).reshape(H, R)
             # M[b,c,h] = nu2d[h, lo[b,c]]  — batched (C,R)x(R,H) matmuls (MXU)
-            M = jnp.einsum("bcl,hl->bch", oh_lo, nu2d)
-            out = jnp.einsum("bch,bch->bc", oh_hi, M).reshape(-1)[: K * m]
+            M = jnp.einsum(
+                "bcl,hl->bch", oh_lo, nu2d, precision=jax.lax.Precision.HIGHEST
+            )
+            out = jnp.einsum(
+                "bch,bch->bc", oh_hi, M, precision=jax.lax.Precision.HIGHEST
+            ).reshape(-1)[: K * m]
             return out.reshape(K, m) * arrs["mask"]
         return nu[arrs["asset"]] * arrs["mask"]
 
@@ -296,14 +307,20 @@ class AdmmSolver:
         if self.consensus == "onehot":
             oh = self._onehot(arrs["asset"])
             vals_c = self._chunked(vals.reshape(-1), 0.0)
-            return jnp.einsum("bc,bcn->n", vals_c, oh)
+            # precision=HIGHEST: see _bcast_nu — the vmapped form of this
+            # contraction otherwise truncates the trades to bf16 on the MXU
+            return jnp.einsum(
+                "bc,bcn->n", vals_c, oh, precision=jax.lax.Precision.HIGHEST
+            )
         if self.consensus == "radix":
             R = self._RADIX
             oh_lo, oh_hi, H = self._radix_onehots(arrs["asset"])
             vals_c = self._chunked(vals.reshape(-1), 0.0)
             G = oh_hi * vals_c[..., None]
             # y2d[h,l] = sum_slots val*[hi==h]*[lo==l] — one (H,E)x(E,R) matmul
-            y2d = jnp.einsum("bch,bcl->hl", G, oh_lo)
+            y2d = jnp.einsum(
+                "bch,bcl->hl", G, oh_lo, precision=jax.lax.Precision.HIGHEST
+            )
             return y2d.reshape(-1)[: self.n]
         return self._segsum(vals, arrs["asset"])
 

@@ -263,23 +263,61 @@ class DeltaAdmmSolver(AdmmSolver):
             }
         return out, axes, min_x0
 
-    def solve_delta_batch(self, c, lo, hi, nu0, rho, bdict, axes, max_iters):
+    def solve_delta_batch(
+        self, c, lo, hi, nu0, rho, bdict, axes, max_iters, warm=None
+    ):
         """T vmapped correction solves (linear objectives, delta-dual
         iteration).  ``c`` carries e0 = c_true/rho - nu0 per point;
-        ``rho`` is (T,).  One device program for the whole grid."""
-        if getattr(self, "_delta_batch_jit", None) is None:
-            def _one(c_, lo_, hi_, rho_, nu0_, bks, mi):
+        ``rho`` is (T,).  One device program for the whole grid.
+
+        ``warm``: a previous batched delta RouteResult (same center /
+        same delta space) — chains chunks within a pass exactly like the
+        single-route path's ``solve_delta(warm=...)``: z0 = the trades,
+        dnu0 = prices/rho (the delta dual the chunk ended at)."""
+        dt = self.dtype
+        if warm is None:
+            if getattr(self, "_delta_batch_jit", None) is None:
+                def _one(c_, lo_, hi_, rho_, nu0_, bks, mi):
+                    return self._solve_impl(
+                        c_, lo_, hi_, rho_, nu0=nu0_, buckets=bks,
+                        max_iters=mi,
+                    )
+
+                self._delta_batch_jit = jax.jit(
+                    jax.vmap(_one, in_axes=(0, 0, 0, 0, 0, axes, None))
+                )
+            return self._delta_batch_jit(
+                jnp.asarray(c, dt), jnp.asarray(lo, dt), jnp.asarray(hi, dt),
+                jnp.asarray(rho, dt), jnp.asarray(nu0, dt), bdict,
+                jnp.asarray(int(max_iters), jnp.int32),
+            )
+        if getattr(self, "_delta_batch_warm_jit", None) is None:
+            zaxes = {k: (0, 0) for k in self.buckets}
+
+            def _one_w(c_, lo_, hi_, rho_, z0_, nu0_, bks, mi):
                 return self._solve_impl(
-                    c_, lo_, hi_, rho_, nu0=nu0_, buckets=bks, max_iters=mi
+                    c_, lo_, hi_, rho_, z0=z0_, nu0=nu0_, buckets=bks,
+                    max_iters=mi,
                 )
 
-            self._delta_batch_jit = jax.jit(
-                jax.vmap(_one, in_axes=(0, 0, 0, 0, 0, axes, None))
+            self._delta_batch_warm_jit = jax.jit(
+                jax.vmap(_one_w, in_axes=(0, 0, 0, 0, zaxes, 0, axes, None))
             )
-        dt = self.dtype
-        return self._delta_batch_jit(
+        z0 = {
+            name: (
+                jnp.asarray(warm.deltas[name], dt),
+                jnp.asarray(warm.lambdas[name], dt),
+            )
+            for name in self.buckets
+        }
+        # stay on device: the chunk chain never moves the trade planes
+        dnu0 = (
+            jnp.asarray(warm.prices, dt)
+            / jnp.asarray(rho, dt)[:, None]
+        )
+        return self._delta_batch_warm_jit(
             jnp.asarray(c, dt), jnp.asarray(lo, dt), jnp.asarray(hi, dt),
-            jnp.asarray(rho, dt), jnp.asarray(nu0, dt), bdict,
+            jnp.asarray(rho, dt), z0, dnu0, bdict,
             jnp.asarray(int(max_iters), jnp.int32),
         )
 
@@ -847,6 +885,7 @@ def refine_sweep(
     # (and back), which grinds positive gaps the base penalty stalls on
     use_eps = np.zeros(T, bool)
     prev_scores = np.full(T, np.inf)
+    pass_fails = 0
     for _ in range(int(max_passes)):
         scores = np.array([_score(ct) for ct in certs])
         live = scores > target_gap
@@ -880,11 +919,32 @@ def refine_sweep(
         e0 = c / rho[:, None] - nu0f
         lo_d = np.clip((lo - psi0) / eps[:, None], -fmax, fmax)
         hi_d = np.clip((hi - psi0) / eps[:, None], -fmax, fmax)
-        dres = solver.solve_delta_batch(
-            e0, lo_d, hi_d, nu0f, rho, bdict, axes, iters_per_pass
-        )
+        # warm-chained chunks against THIS pass's center until the grid's
+        # delta duals converge (the single-route path does the same via
+        # solve_delta(warm=...)) — composing a half-converged delta dual
+        # leaves the dual bound, and so the certified gap, at the entry
+        # level: measured at 1k pools, one 1000-iteration chunk composed
+        # mid-solve stalled every point at gap ~ 6e-5 while the chained
+        # chunks certify 1e-6
+        # the delta-dual state STARTS at dnu = 0 — the base dual enters
+        # only through the folded e0 and the pre-broadcast nu0e planes
+        # (passing nu0f here as the start dual was the round-5 sweep bug:
+        # the solve then walks dnu from the full base dual back toward 0,
+        # 100x the iterations with the f32 noise of an O(|nu0|) dual)
+        dnu_start = np.zeros_like(nu0f)
+        dres = None
+        for _ck in range(4):
+            dres = solver.solve_delta_batch(
+                e0, lo_d, hi_d, dnu_start, rho, bdict, axes, iters_per_pass,
+                warm=dres,
+            )
+            it_ck = int(np.max(np.asarray(dres.iters)))
+            total += it_ck
+            if it_ck < int(iters_per_pass) or bool(
+                np.all(np.asarray(dres.converged))
+            ):
+                break
         dres = jax.device_get(dres)
-        total += int(np.max(dres.iters))
         # f64 composition of all T candidates
         cand_D = {}
         cand_L = {}
@@ -919,7 +979,17 @@ def refine_sweep(
                     deltas[k][t] = cand_D[k][t]
                     lambdas[k][t] = cand_L[k][t]
         if not improved:
-            break
+            # a failed pass flips every live point's regime (acceptance
+            # gating already protected their state); two consecutive
+            # failed passes end the loop — mirror of refine_device's
+            # pass_fails ladder
+            if pass_fails:
+                break
+            pass_fails = 1
+            use_eps[live] = ~use_eps[live]
+            prev_scores = np.full(T, np.inf)  # don't double-flip next pass
+        else:
+            pass_fails = 0
     # near-miss stragglers whose blocker is pure dual looseness get the
     # per-point L-BFGS price polish (cheap at n-small; mirrors the
     # single-route path)
