@@ -429,23 +429,29 @@ def run_config(m, n_assets, B, fused):
         lo_s = np.tile(np.asarray(eq.objective.lo)[None, :], (Tc, 1))
         hi_s = np.full((Tc, solver.n), np.inf)
         # the delta refinement needs f32-floor entries (same contract as
-        # the single-route path): solve each point to residual 1e-6 with
-        # per-point rho adaptation.  Measured at T=64/1k pools: 1e-6
-        # entries certify 64/64 in 9.6 s solve + 25.7 s refine; 1e-5
+        # the single-route path): solve each point to residual 1e-6.
+        # Measured at T=64/1k pools: 1e-6 entries certify 64/64; 1e-5
         # entries leave refinement 16k iterations and only 33/64; 1e-7
-        # entries just shift 4 s from refine into the solve
+        # entries just shift 4 s from refine into the solve.  The entry
+        # solve and the refinement both run FOLDED (solver/fold.py): T
+        # block-diagonal copies as one T*m-pool fused-kernel solve —
+        # one launch per bucket per iteration regardless of T
+        from cfmm_routing_tpu.solver.fold import solve_batch_folded
+
         opts_s = AdmmOptions(
             max_iters=max(2 * row["device_iters"], 4000),
             eps_abs=1e-6, eps_rel=1e-6,
+            projection=ProjectionConfig(n_bisect=24, n_polish=4),
         )
-        solver_s = AdmmSolver(compiled, dtype=jnp.float32, options=opts_s)
         lo32 = np.maximum(lo_s, -3e38)
         hi32 = np.full((Tc, solver.n), 3e38)
-        out_s = solver_s.solve_batch(c_s, lo32, hi32)  # warm
-        jax.block_until_ready(out_s.objective)
+        out_s = solve_batch_folded(  # warm the folded programs
+            compiled, c_s, lo_s, hi32, options=opts_s, chunk=CHUNK
+        )
         t0 = time.perf_counter()
-        out_s = solver_s.solve_batch(c_s, lo32, hi32)
-        jax.block_until_ready(out_s.objective)
+        out_s = solve_batch_folded(
+            compiled, c_s, lo_s, hi32, options=opts_s, chunk=CHUNK
+        )
         sweep_solve_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         ref_s = refine_sweep(

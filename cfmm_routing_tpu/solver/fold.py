@@ -1,0 +1,209 @@
+"""Scenario folding: a T-point sweep as ONE problem on the pool axis.
+
+The TPU-first answer to scenario batching (SURVEY.md §2 scenario rows;
+the reference loops 50 serial cvxpy solves, ``/root/reference/
+two-asset.py:40``): T independent copies of the same network are
+block-diagonal in the consensus — point t's pools touch only point t's
+asset block — so a batch of T solves IS one solve over ``T*m`` pools and
+``T*n`` assets.  Folding instead of ``vmap`` keeps the iteration on the
+fused Pallas kernel with ONE launch per bucket per iteration regardless
+of T (the vmapped classic path pays T times the small-problem
+launch/pipeline floor), and rides the radix-128 MXU consensus exchange
+at the folded asset count.
+
+Exactness: the consensus reduce/broadcast never mixes asset blocks
+(asset ids are offset per point), the projections are per-pool, and the
+linear consensus prox is elementwise — the folded iterate equals the T
+per-point iterates exactly, up to the shared (joint) convergence test
+and, for base solves, a shared adapted rho.  The delta-dual refinement
+iteration is rho-free for linear objectives (rho enters only the folded
+constant e0 and the price reconstruction), so per-point penalties fold
+exactly: compute e0 per point, solve at rho=1, rescale per point on the
+way out (:func:`unfold_delta_prices`).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from .compiler import Bucket, CompiledProblem
+
+__all__ = [
+    "fold_compiled",
+    "fold_vec",
+    "unfold_vec",
+    "fold_planes",
+    "unfold_planes",
+    "unfold_route",
+    "solve_batch_folded",
+]
+
+
+def fold_compiled(compiled: CompiledProblem, T: int) -> CompiledProblem:
+    """T copies of the problem, concatenated along the pool axis.
+
+    Point t's pools carry asset ids offset by ``t*n`` (padding slots move
+    from id ``n`` to id ``T*n``), so the folded consensus is
+    block-diagonal: one solve over the folded problem == T independent
+    solves.  Bucket pool counts multiply by T, preserving the fused
+    kernel's lane alignment (``pad_pools_to`` multiples stay multiples).
+    """
+    n = compiled.n_assets
+    buckets: Dict[str, Bucket] = {}
+    for name, b in compiled.buckets.items():
+        m = b.mask.shape[0]
+        real = b.mask > 0
+        # (T*m, K): per-point row blocks [t*m, (t+1)*m)
+        asset_f = np.concatenate(
+            [np.where(real, b.asset + t * n, T * n) for t in range(T)]
+        ).astype(np.int32)
+        buckets[name] = Bucket(
+            kind=b.kind,
+            width=b.width,
+            reserves=np.tile(b.reserves, (T, 1)),
+            weights=np.tile(b.weights, (T, 1)),
+            shift=np.tile(b.shift, (T, 1)),
+            gamma=np.tile(b.gamma, (T, 1)),
+            logk0=np.tile(b.logk0, T),
+            k0=np.tile(b.k0, T),
+            mask=np.tile(b.mask, (T, 1)),
+            asset=asset_f,
+            pool_ids=np.concatenate(
+                [b.pool_ids + t * compiled.n_pools for t in range(T)]
+            ),
+            needs_floor=b.needs_floor,
+        )
+    return CompiledProblem(
+        n_assets=T * n,
+        buckets=buckets,
+        degree=np.tile(compiled.degree, T),
+        n_pools=T * compiled.n_pools,
+        n_slots=T * compiled.n_slots,
+        widths=np.tile(compiled.widths, T),
+        spec=None,
+    )
+
+
+def fold_vec(x: np.ndarray) -> np.ndarray:
+    """(T, n) per-point asset vectors -> (T*n,) folded."""
+    x = np.asarray(x)
+    return x.reshape(-1)
+
+
+def unfold_vec(x: np.ndarray, T: int) -> np.ndarray:
+    """(T*n,) folded asset vector -> (T, n)."""
+    x = np.asarray(x)
+    return x.reshape(T, -1)
+
+
+def unfold_route(res, T: int, c: np.ndarray = None):
+    """Folded RouteResult -> per-point batched RouteResult.
+
+    Joint quantities (iters, residual norms, converged, rho) broadcast
+    to every point — the folded solve ran them jointly.  ``c``: optional
+    (T, n) objective rows to recover per-point objective values."""
+    import jax
+
+    r = jax.device_get(res)
+    deltas = unfold_planes(
+        {k: np.asarray(v) for k, v in r.deltas.items()}, T
+    )
+    lambdas = unfold_planes(
+        {k: np.asarray(v) for k, v in r.lambdas.items()}, T
+    )
+    psi = unfold_vec(np.asarray(r.psi), T)
+    prices = unfold_vec(np.asarray(r.prices), T)
+    if c is not None:
+        obj = np.sum(np.asarray(c, np.float64) * psi, axis=1)
+    else:
+        obj = np.full(T, float(np.asarray(r.objective)) / T)
+    fill = lambda v: np.full(T, np.asarray(v))  # noqa: E731
+    return r._replace(
+        objective=obj, psi=psi, prices=prices, deltas=deltas,
+        lambdas=lambdas, iters=fill(r.iters), r_norm=fill(r.r_norm),
+        s_norm=fill(r.s_norm), converged=fill(r.converged),
+        rho_final=fill(r.rho_final),
+    )
+
+
+def solve_batch_folded(
+    compiled: CompiledProblem,
+    c,
+    lo,
+    hi,
+    options=None,
+    dtype=None,
+    fused: bool = None,
+    chunk: int = 500,
+    interpret: bool = False,
+    rho: float = None,
+    max_iters: int = None,
+):
+    """T per-point linear objectives solved as ONE folded problem.
+
+    The TPU-first replacement for ``AdmmSolver.solve_batch`` on linear
+    sweeps: the fold rides the fused Pallas kernel (one launch per
+    bucket per iteration regardless of T) where the vmapped classic
+    path pays T small-problem pipeline floors.  Semantics differ from
+    the vmapped path only in the JOINT convergence test and the shared
+    adapted rho.  Returns a per-point batched RouteResult
+    (:func:`unfold_route`).
+    """
+    import jax.numpy as jnp
+
+    from ..models.utility import Objective
+    from .admm import AdmmOptions, AdmmSolver
+
+    c = np.asarray(c, np.float64)
+    T = c.shape[0]
+    fcompiled = fold_compiled(compiled, T)
+    opts = options if options is not None else AdmmOptions()
+    dt = dtype if dtype is not None else jnp.float32
+    solver = AdmmSolver(fcompiled, dtype=dt, options=opts)
+    if fused is None:
+        import jax
+
+        fused = jax.default_backend() not in ("cpu",) and all(
+            b.mask.shape[0] % 128 == 0 for b in fcompiled.buckets.values()
+        )
+    obj_f = Objective(
+        fold_vec(c),
+        lo=fold_vec(np.asarray(lo, np.float64)),
+        hi=fold_vec(np.asarray(hi, np.float64)),
+    )
+    mi = max_iters if max_iters is not None else opts.max_iters
+    if fused:
+        from .driver import ChunkedDriver
+
+        drv = ChunkedDriver(solver, chunk=chunk, interpret=interpret,
+                            fused=True)
+        res, _log = drv.solve(obj_f, max_iters=mi, rho=rho)
+    else:
+        res = solver.solve(obj_f, rho=rho, max_iters=mi)
+    return unfold_route(res, T, c=c)
+
+
+def fold_planes(planes: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Per-bucket (T, K, m) trade planes -> (K, T*m) folded device
+    layout (row blocks along the pool axis, matching
+    :func:`fold_compiled`)."""
+    out = {}
+    for k, v in planes.items():
+        v = np.asarray(v)
+        T, K, m = v.shape
+        out[k] = v.transpose(1, 0, 2).reshape(K, T * m)
+    return out
+
+
+def unfold_planes(
+    planes: Dict[str, np.ndarray], T: int
+) -> Dict[str, np.ndarray]:
+    """(K, T*m) folded trade planes -> per-point (T, K, m)."""
+    out = {}
+    for k, v in planes.items():
+        v = np.asarray(v)
+        K, Tm = v.shape
+        m = Tm // T
+        out[k] = v.reshape(K, T, m).transpose(1, 0, 2)
+    return out

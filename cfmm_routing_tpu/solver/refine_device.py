@@ -820,6 +820,68 @@ def _psi_batch(compiled, deltas, lambdas):
     return psi[:, :n]
 
 
+def _delta_buckets_folded(fsolver, deltas, lambdas, eps, nu0f):
+    """Folded delta bucket arrays: per-point (T, K, m) trades -> (K, T*m)
+    planes on a FOLDED solver (``solver/fold.py``).
+
+    ``eps``: (T,) per-point correction scales, broadcast to each point's
+    pool block; ``nu0f``: (T, n) f32-exact scaled base duals (their fold
+    feeds the pre-broadcast nu0e plane through the folded asset ids).
+    Returns (bdict, min_x0 (T,)) — min_x0 is per POINT so one degenerate
+    re-center only sidelines its own grid point."""
+    from .fold import fold_planes, fold_vec
+
+    dt = fsolver.dtype
+    eps = np.asarray(eps, np.float64)
+    T = eps.shape[0]
+    D0f = fold_planes(deltas)
+    L0f = fold_planes(lambdas)
+    nu0_ext = np.concatenate([fold_vec(nu0f), [0.0]])
+    out = {}
+    min_x0 = np.full(T, np.inf)
+    for name, b in fsolver.compiled.buckets.items():
+        kind, _ = fsolver._meta[name]
+        D0 = D0f[name]  # (K, m_f)
+        L0 = L0f[name]
+        maskT = b.mask.T
+        gamma = b.gamma[:, 0][None, :]
+        m_f = maskT.shape[1]
+        eps_col = np.repeat(eps, m_f // T)[None, :]  # (1, m_f)
+        if kind == "gm":
+            x0 = (b.reserves + b.shift).T + gamma * D0 - L0
+            x0 = np.where(maskT > 0, x0, 1.0)
+            logx0 = np.log(np.maximum(x0, 1e-300))
+            sigma0 = np.sum(b.weights.T * logx0, axis=0) - b.logk0
+            nsig = -sigma0
+            real = np.where(maskT > 0, x0, np.inf)
+            min_x0 = np.minimum(
+                min_x0, np.min(real.reshape(-1, T, m_f // T), axis=(0, 2))
+            )
+        else:
+            x0 = b.reserves.T + gamma * D0 - L0
+            x0 = np.where(maskT > 0, x0, 1.0)
+            s0 = np.sum(b.weights.T * np.where(maskT > 0, x0, 0.0), axis=0)
+            nsig = -(s0 - b.k0) / eps_col[0]
+        arrs = dict(fsolver.buckets[name])
+        host = dict(
+            w=b.weights.T.astype(dt),
+            X0=np.where(
+                maskT > 0, np.maximum(x0 / eps_col, 1e-30), 1.0
+            ).astype(dt),
+            aD=(-D0 / eps_col).astype(dt),
+            aL=(-L0 / eps_col).astype(dt),
+            sS=(b.shift.T / eps_col).astype(dt),
+            nsig=np.asarray(nsig).astype(dt),
+            nu0e=(nu0_ext[b.asset].T * maskT).astype(dt),
+        )
+        arrs["_host"] = host
+        out[name] = arrs
+    uploads = jax.device_put({n_: a.pop("_host") for n_, a in out.items()})
+    for name, up in uploads.items():
+        out[name].update(up)
+    return out, min_x0
+
+
 def refine_sweep(
     compiled: CompiledProblem,
     c,
@@ -832,15 +894,16 @@ def refine_sweep(
     max_passes: int = 4,
     iters_per_pass: int = 1000,
     eps_factor: float = 10.0,
+    fold: Optional[bool] = None,
 ) -> SweepRefineResult:
     """Refine EVERY point of a batched sweep to a certified gap with ONE
-    vmapped correction solve per pass (linear objectives).
+    correction solve per pass (linear objectives).
 
     ``c``/``lo``/``hi``: (T, n) per-point objectives; ``result``: the
     batched RouteResult from ``AdmmSolver.solve_batch``.  Each pass
-    re-centers all T points (``delta_buckets_batch``), runs one vmapped
-    delta-dual solve, composes in f64, and certifies the whole grid with
-    ONE :func:`~cfmm_routing_tpu.solver.certify.certify_batch` call —
+    re-centers all T points, runs one batched delta-dual solve, composes
+    in f64, and certifies the whole grid with ONE
+    :func:`~cfmm_routing_tpu.solver.certify.certify_batch` call —
     replacing the round-4 serial per-point loop (``api.py``).  Per-point
     candidates are accepted only when they improve that point's
     certificate score, so an occasional degenerate point (non-positive
@@ -849,6 +912,16 @@ def refine_sweep(
     to per-point :func:`refine_device`).  Match:
     ``/root/reference/two-asset.py:91`` — each of the reference's 50
     serial solves is ECOS-certified.
+
+    ``fold`` (default auto = True unless a custom ``solver`` is passed):
+    run the grid's correction solves FOLDED along the pool axis
+    (``solver/fold.py``) — T block-diagonal copies as one ``T*m``-pool
+    solve — so they ride the fused Pallas delta kernel with one launch
+    per bucket per iteration regardless of T.  The delta-dual iteration
+    is rho-free for linear objectives, so per-point penalties fold
+    exactly: e0 is built per point, the folded solve runs at rho=1, and
+    prices rescale per point on the way out.  ``fold=False`` keeps the
+    vmapped classic path.
     """
     from .certify import certify_batch
 
@@ -862,13 +935,30 @@ def refine_sweep(
     prices = np.asarray(res.prices, np.float64).copy()
     rho_f = np.asarray(res.rho_final, np.float64).reshape(T)
 
+    if fold is None:
+        fold = solver is None  # a caller-built solver keeps the vmap path
+    fsolver = None
+    fused_fold = False
     if solver is None:
         base = options if options is not None else AdmmOptions()
         opts = dataclasses.replace(
             base, max_iters=int(iters_per_pass), eps_abs=1e-8, eps_rel=1e-8,
             adapt_rho=False,
         )
-        solver = DeltaAdmmSolver(compiled, dtype=jnp.float32, options=opts)
+        if fold:
+            from .fold import fold_compiled
+
+            fsolver = DeltaAdmmSolver(
+                fold_compiled(compiled, T), dtype=jnp.float32, options=opts
+            )
+            fused_fold = _fused_delta_ok(fsolver) and _on_accelerator()
+        else:
+            solver = DeltaAdmmSolver(compiled, dtype=jnp.float32, options=opts)
+    elif fold:
+        raise ValueError(
+            "refine_sweep(fold=True) builds its own folded solver — drop "
+            "the solver argument or pass fold=False"
+        )
 
     def _score(cert):
         return max(abs(cert.gap_rel), cert.feasibility_rel)
@@ -913,10 +1003,6 @@ def refine_sweep(
             np.clip(rho_f, 0.25, 4.0),
         )
         nu0f = (prices / rho[:, None]).astype(np.float32).astype(np.float64)
-        bdict, axes, min_x0 = solver.delta_buckets_batch(
-            deltas, lambdas, eps, nu0f
-        )
-        e0 = c / rho[:, None] - nu0f
         lo_d = np.clip((lo - psi0) / eps[:, None], -fmax, fmax)
         hi_d = np.clip((hi - psi0) / eps[:, None], -fmax, fmax)
         # warm-chained chunks against THIS pass's center until the grid's
@@ -931,34 +1017,84 @@ def refine_sweep(
         # (passing nu0f here as the start dual was the round-5 sweep bug:
         # the solve then walks dnu from the full base dual back toward 0,
         # 100x the iterations with the f32 noise of an O(|nu0|) dual)
-        dnu_start = np.zeros_like(nu0f)
-        dres = None
-        for _ck in range(4):
-            dres = solver.solve_delta_batch(
-                e0, lo_d, hi_d, dnu_start, rho, bdict, axes, iters_per_pass,
-                warm=dres,
+        if fold:
+            from .fold import fold_vec, unfold_planes, unfold_vec
+
+            bdict_f, min_x0 = _delta_buckets_folded(
+                fsolver, deltas, lambdas, eps, nu0f
             )
-            it_ck = int(np.max(np.asarray(dres.iters)))
-            total += it_ck
-            if it_ck < int(iters_per_pass) or bool(
-                np.all(np.asarray(dres.converged))
-            ):
-                break
-        dres = jax.device_get(dres)
+            # the linear delta-dual iteration is rho-free (rho enters
+            # only e0 and the price reconstruction): build e0 per point
+            # with its own rho, run the folded solve at rho=1, and
+            # rescale prices per point below
+            dobj_f = Objective(
+                fold_vec(c / rho[:, None]),
+                lo=fold_vec(lo_d), hi=fold_vec(hi_d),
+            )
+            nu0_fold = fold_vec(nu0f)
+            dres = None
+            for _ck in range(4):
+                dres = fsolver.solve_delta(
+                    dobj_f, bdict_f, nu0_fold, 1.0, iters_per_pass,
+                    warm=dres, fused=fused_fold,
+                )
+                it_ck = int(np.asarray(dres.iters))
+                total += it_ck
+                if it_ck < int(iters_per_pass) or bool(
+                    np.asarray(dres.converged)
+                ):
+                    break
+            dresh = jax.device_get(dres)
+            d_deltas = unfold_planes(
+                {k: np.asarray(v, np.float64) for k, v in dresh.deltas.items()},
+                T,
+            )
+            d_lambdas = unfold_planes(
+                {
+                    k: np.asarray(v, np.float64)
+                    for k, v in dresh.lambdas.items()
+                },
+                T,
+            )
+            # folded solve ran at rho=1: prices == dnu per point
+            d_prices = rho[:, None] * unfold_vec(
+                np.asarray(dresh.prices, np.float64), T
+            )
+        else:
+            bdict, axes, min_x0 = solver.delta_buckets_batch(
+                deltas, lambdas, eps, nu0f
+            )
+            e0 = c / rho[:, None] - nu0f
+            dnu_start = np.zeros_like(nu0f)
+            dres = None
+            for _ck in range(4):
+                dres = solver.solve_delta_batch(
+                    e0, lo_d, hi_d, dnu_start, rho, bdict, axes,
+                    iters_per_pass, warm=dres,
+                )
+                it_ck = int(np.max(np.asarray(dres.iters)))
+                total += it_ck
+                if it_ck < int(iters_per_pass) or bool(
+                    np.all(np.asarray(dres.converged))
+                ):
+                    break
+            dresh = jax.device_get(dres)
+            d_deltas = {
+                k: np.asarray(v, np.float64) for k, v in dresh.deltas.items()
+            }
+            d_lambdas = {
+                k: np.asarray(v, np.float64)
+                for k, v in dresh.lambdas.items()
+            }
+            d_prices = np.asarray(dresh.prices, np.float64)
         # f64 composition of all T candidates
         cand_D = {}
         cand_L = {}
         e = eps[:, None, None]
         for k in deltas:
-            cand_D[k] = np.maximum(
-                deltas[k] + e * np.asarray(dres.deltas[k], np.float64), 0.0
-            )
-            cand_L[k] = np.maximum(
-                lambdas[k] + e * np.asarray(dres.lambdas[k], np.float64), 0.0
-            )
-        cand_prices = rho[:, None] * nu0f + np.asarray(
-            dres.prices, np.float64
-        )
+            cand_D[k] = np.maximum(deltas[k] + e * d_deltas[k], 0.0)
+            cand_L[k] = np.maximum(lambdas[k] + e * d_lambdas[k], 0.0)
+        cand_prices = rho[:, None] * nu0f + d_prices
         cand_psi = _psi_batch(compiled, cand_D, cand_L)
         cand_certs = certify_batch(
             compiled, c, lo, hi, cand_D, cand_L, cand_prices,

@@ -839,3 +839,41 @@ def test_refine_device_utility_moderate_degree_vs_oracle():
 
     truth = oracle_solve(spec, util).objective
     assert abs(out.certificate.objective - truth) <= 1e-4 * max(1, abs(truth))
+
+
+def test_refine_sweep_batched_path_certifies_random_network():
+    """refine_sweep's BATCHED delta solve must certify on its own — no
+    per-point fallback (api.sweep has one, which masked the round-5
+    sweep bug: the batched path passed the full base dual as the delta
+    solve's START dual, walking dnu from O(|nu0|) back toward 0 and
+    flooring every point at gap ~ 2e-5; the delta-dual state starts at
+    dnu = 0).  Random mid-size network, T=4 scaled objectives — every
+    point must certify 1e-6 through refine_sweep directly."""
+    from cfmm_routing_tpu.solver.compiler import compile_table
+    from cfmm_routing_tpu.solver.precondition import equilibrate
+    from cfmm_routing_tpu.solver.refine_device import refine_sweep
+    from cfmm_routing_tpu.utils.synth import random_arbitrage_table
+
+    table, obj = random_arbitrage_table(12, 60, seed=5)
+    eq = equilibrate(table, obj)
+    compiled = compile_table(eq.table)
+    T = 4
+    rng = np.random.default_rng(3)
+    c = np.asarray(eq.objective.c)[None, :] * rng.uniform(
+        0.8, 1.25, size=(T, 1)
+    )
+    lo = np.tile(np.asarray(eq.objective.lo)[None, :], (T, 1))
+    hi = np.full((T, c.shape[1]), np.inf)
+    solver = AdmmSolver(
+        compiled, dtype=jnp.float32,
+        options=AdmmOptions(max_iters=8000, eps_abs=1e-6, eps_rel=1e-6),
+    )
+    res = solver.solve_batch(c, np.maximum(lo, -3e38), np.full_like(c, 3e38))
+    ref = refine_sweep(compiled, c, lo, hi, res, target_gap=1e-6)
+    assert bool(np.all(ref.achieved)), [
+        (f"{ct.gap_rel:.2e}", f"{ct.feasibility_rel:.2e}")
+        for ct in ref.certificates
+    ]
+    # the refined grid is self-consistent: prices belong to the refined
+    # point (round-4 advisor finding on api.sweep)
+    assert ref.prices.shape == (T, c.shape[1])
