@@ -48,7 +48,13 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 import jax.numpy as jnp
 import numpy as np
 
-CHUNK = 250
+# 500-iteration chunks: each DeviceGate host pass costs one tunnel
+# fetch (~0.15 s) regardless of problem size, so 250-iteration chunks
+# (0.06-0.11 s of device work) left the gated loop HOST-bound — e2e at
+# 1k pools measured 4.08 s against a 1.13 s solve+refine.  At 500 the
+# chunk's device time matches the gate's host time and the overlap is
+# real; the price is a <=500-iteration overshoot at accept (~0.2 s).
+CHUNK = 500
 MAX_ITERS = 12_000
 GAP_LOOSE = 1e-3
 GAP_TIGHT = 1e-6
@@ -453,6 +459,9 @@ def run_config(m, n_assets, B, fused):
             compiled, c_s, lo_s, hi32, options=opts_s, chunk=CHUNK
         )
         sweep_solve_s = time.perf_counter() - t0
+        # warm the folded delta programs (first refine_sweep call pays
+        # ~20 s of compiles over the tunnel; the cache keeps them)
+        refine_sweep(compiled, c_s, lo_s, hi_s, out_s, target_gap=GAP_TIGHT)
         t0 = time.perf_counter()
         ref_s = refine_sweep(
             compiled, c_s, lo_s, hi_s, out_s, target_gap=GAP_TIGHT,

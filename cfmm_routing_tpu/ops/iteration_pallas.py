@@ -133,15 +133,29 @@ def _gm_bracket(ch, gamma, k0):
     return 4.0 * mu_hi + 1.0
 
 
-def _fused_kernel(K, kind, needs_floor, cfg, alpha, H, refs):
+def _fused_kernel(K, kind, needs_floor, cfg, alpha, H, refs, fold=None):
     """refs in: sD_c[K], sL_c[K], ids_c[K], R_c[K], w_c[K], sh_c[K],
     mask_c[K], gamma, logk0, k0, v2d(H,128)
-    out: sD'_c[K], sL'_c[K], D_c[K], L_c[K], y2d(H,128)"""
+    out: sD'_c[K], sL'_c[K], D_c[K], L_c[K], y2d(H,128)
+
+    ``fold=(tiles_per_point, n_real)``: block-diagonal scenario folding
+    (solver/fold.py).  Tiles are point-aligned, so the kernel subtracts
+    the tile's point offset from the asset ids and works against that
+    point's OWN (H, 128) price block — H stays n/128 regardless of the
+    number of folded points (the naive fold pays the radix exchange at
+    H = T*n/128, measured 16x slower at T=64/n=64 than the vmapped
+    classic path it was meant to replace).  Folded padding ids land in
+    the local block's pad slots (see solver/fold.py), which read the
+    zero pad and scatter into sliced-away lanes."""
     nin = 7 * K + 4
     ins, outs = refs[:nin], refs[nin:]
     sD = [ins[c][:] for c in range(K)]
     sL = [ins[K + c][:] for c in range(K)]
     IDS = [ins[2 * K + c][:] for c in range(K)]
+    if fold is not None:
+        tpp, n_real = fold
+        t_idx = jax.lax.div(pl.program_id(0), jnp.int32(tpp))
+        IDS = [ids - t_idx * jnp.int32(n_real) for ids in IDS]
     R = [ins[3 * K + c][:] for c in range(K)]
     W = [ins[4 * K + c][:] for c in range(K)]
     SH = [ins[5 * K + c][:] for c in range(K)]
@@ -212,8 +226,15 @@ def _fused_kernel(K, kind, needs_floor, cfg, alpha, H, refs):
 
     # outputs + the per-tile partial consensus reduction
     y_ref = outs[4 * K]
+    if fold is None:
+        first_tile = pl.program_id(0) == 0
+    else:
+        # each point owns its y block; its first tile zeroes it (tiles
+        # of one point are consecutive grid steps, so the block stays
+        # resident in VMEM across the whole per-point accumulation)
+        first_tile = jax.lax.rem(pl.program_id(0), jnp.int32(fold[0])) == 0
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(first_tile)
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
@@ -241,24 +262,39 @@ def fused_step(
     alpha: float,
     cfg: ProjectionConfig = ProjectionConfig(),
     interpret: bool = False,
+    fold=None,
 ):
     """One fused half-iteration for one bucket.
 
     sD/sL: (K, m) state planes;  v: (n_pad,) combined broadcast vector
     (wdef - nu, zero-padded to a lane multiple);  arrs: the solver's
     device bucket dict.  Returns (sD', sL', D, L, y_partial(n_pad,)).
+
+    ``fold=(T, n_real)``: block-diagonal scenario folding — m covers T
+    point-major pool blocks, v is the (T * n_pad_local,) per-point
+    padded price layout, and each tile exchanges against its own
+    point's (H_local, 128) block (see ``_fused_kernel``).  Returns y in
+    the same per-point padded layout.
     """
     K, m = sD.shape
     assert m % _LANES == 0, f"pool count {m} must be a multiple of {_LANES}"
     n_pad = v.shape[0]
     assert n_pad % _LANES == 0
-    H = n_pad // _LANES
     rows = m // _LANES
+    if fold is not None:
+        T_f, n_real = fold
+        assert m % T_f == 0 and n_pad % T_f == 0
+        n_pad = n_pad // T_f  # local block
+        tile_cap = rows // T_f
+        assert tile_cap * _LANES * T_f == m
+    else:
+        tile_cap = rows
+    H = n_pad // _LANES
     # interpret mode must be requested EXPLICITLY (solve_fused(interpret=...)
     # / ChunkedDriver(interpret=...)): the sub-8-sublane Mosaic-hang guard
     # only applies to compiled tiles, and sniffing a global
     # force_tpu_interpret_mode() context would need private jax internals
-    tile_rows = _pick_tile_rows(rows, K, H, require8=not interpret)
+    tile_rows = _pick_tile_rows(tile_cap, K, H, require8=not interpret)
     if tile_rows == 0:
         raise ValueError(
             f"bucket (K={K}, m={m}, n_pad={n_pad}) has no TPU-legal tile "
@@ -267,6 +303,7 @@ def fused_step(
             "path for this bucket shape"
         )
     grid = (rows // tile_rows,)
+    tpp = tile_cap // tile_rows  # tiles per point (fold)
 
     def chan(a):
         return a.reshape(rows, _LANES)
@@ -278,20 +315,31 @@ def fused_step(
     for key in ("R", "w", "s", "mask"):
         inputs.extend(chan(arrs[key][c]) for c in range(K))
     inputs.extend([chan(arrs["gamma"]), chan(arrs["logk0"]), chan(arrs["k0"])])
-    inputs.append(v.reshape(H, _LANES))
+    inputs.append(v.reshape(-1, _LANES))
 
     block = pl.BlockSpec(
         (tile_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    vec_block = pl.BlockSpec((H, _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    if fold is None:
+        vec_block = pl.BlockSpec(
+            (H, _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        y_rows = H
+    else:
+        vec_block = pl.BlockSpec(
+            (H, _LANES), lambda i, _tpp=tpp: (i // _tpp, 0),
+            memory_space=pltpu.VMEM,
+        )
+        y_rows = T_f * H
     in_specs = [block] * (7 * K + 3) + [vec_block]
     out_specs = [block] * (4 * K) + [vec_block]
     out_shape = [jax.ShapeDtypeStruct((rows, _LANES), sD.dtype)] * (4 * K) + [
-        jax.ShapeDtypeStruct((H, _LANES), sD.dtype)
+        jax.ShapeDtypeStruct((y_rows, _LANES), sD.dtype)
     ]
 
     kernel = functools.partial(
-        _fused_kernel, K, kind, needs_floor, cfg, alpha, H
+        _fused_kernel, K, kind, needs_floor, cfg, alpha, H,
+        fold=None if fold is None else (tpp, n_real),
     )
 
     def kfn(*refs):
@@ -317,7 +365,7 @@ def fused_step(
     sLn = jnp.stack([out[K + c].reshape(m) for c in range(K)])
     D = jnp.stack([out[2 * K + c].reshape(m) for c in range(K)])
     L = jnp.stack([out[3 * K + c].reshape(m) for c in range(K)])
-    y = out[4 * K].reshape(n_pad)
+    y = out[4 * K].reshape(-1)  # fold: (T*n_pad_local,) per-point layout
     return sDn, sLn, D, L, y
 
 
@@ -445,15 +493,23 @@ def _cs_delta_bracket_ch(ch, gamma, nsig):
     return mu_hi + 1.0
 
 
-def _fused_delta_kernel(K, kind, needs_floor, cfg, alpha, H, refs):
+def _fused_delta_kernel(K, kind, needs_floor, cfg, alpha, H, refs, fold=None):
     """refs in: sD_c[K], sL_c[K], ids_c[K], X0_c[K], w_c[K], sS_c[K],
     aD_c[K], aL_c[K], mask_c[K], nu0e_c[K], gamma, nsig, v2d(H,128)
-    out: sD'_c[K], sL'_c[K], A_c[K], B_c[K], y2d(H,128)"""
+    out: sD'_c[K], sL'_c[K], A_c[K], B_c[K], y2d(H,128)
+
+    ``fold=(tiles_per_point, n_real)``: block-diagonal scenario folding
+    — localize ids per tile and exchange against the tile's own point
+    block (see ``_fused_kernel``)."""
     nin = 10 * K + 3
     ins, outs = refs[:nin], refs[nin:]
     sD = [ins[c][:] for c in range(K)]
     sL = [ins[K + c][:] for c in range(K)]
     IDS = [ins[2 * K + c][:] for c in range(K)]
+    if fold is not None:
+        tpp, n_real = fold
+        t_idx = jax.lax.div(pl.program_id(0), jnp.int32(tpp))
+        IDS = [ids - t_idx * jnp.int32(n_real) for ids in IDS]
     X0 = [ins[3 * K + c][:] for c in range(K)]
     W = [ins[4 * K + c][:] for c in range(K)]
     SS = [ins[5 * K + c][:] for c in range(K)]
@@ -516,8 +572,12 @@ def _fused_delta_kernel(K, kind, needs_floor, cfg, alpha, H, refs):
         As, Bs, _ = _eval_cs_delta_channels(mu, ch, gamma)
 
     y_ref = outs[4 * K]
+    if fold is None:
+        first_tile = pl.program_id(0) == 0
+    else:
+        first_tile = jax.lax.rem(pl.program_id(0), jnp.int32(fold[0])) == 0
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(first_tile)
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
@@ -544,6 +604,7 @@ def fused_step_delta(
     alpha: float,
     cfg: ProjectionConfig = ProjectionConfig(),
     interpret: bool = False,
+    fold=None,
 ):
     """One fused half-iteration for one DELTA bucket (refinement stage).
 
@@ -552,15 +613,26 @@ def fused_step_delta(
     ``DeltaAdmmSolver.delta_buckets`` (X0/w/sS/aD/aL/mask/gamma/nsig and,
     on the precise path, the pre-broadcast base-dual plane nu0e).
     Returns (sD', sL', a, b, y_partial(n_pad,)).
+
+    ``fold=(T, n_real)``: block-diagonal scenario folding (see
+    :func:`fused_step`) — v and y use the (T * n_pad_local,) per-point
+    padded layout.
     """
     K, m = sD.shape
     assert m % _LANES == 0, f"pool count {m} must be a multiple of {_LANES}"
     n_pad = v.shape[0]
     assert n_pad % _LANES == 0
-    H = n_pad // _LANES
     rows = m // _LANES
+    if fold is not None:
+        T_f, n_real = fold
+        assert m % T_f == 0 and n_pad % T_f == 0
+        n_pad = n_pad // T_f
+        tile_cap = rows // T_f
+    else:
+        tile_cap = rows
+    H = n_pad // _LANES
     tile_rows = _pick_tile_rows(
-        rows, K, H, require8=not interpret, temps=40
+        tile_cap, K, H, require8=not interpret, temps=40
     )
     if tile_rows == 0:
         raise ValueError(
@@ -569,6 +641,7 @@ def fused_step_delta(
             "or use the classic path for this bucket shape"
         )
     grid = (rows // tile_rows,)
+    tpp = tile_cap // tile_rows
 
     def chan(a):
         return a.reshape(rows, _LANES)
@@ -586,22 +659,31 @@ def fused_step_delta(
     ):
         inputs.extend(chan(plane[c]) for c in range(K))
     inputs.extend([chan(arrs["gamma"]), chan(arrs["nsig"])])
-    inputs.append(v.reshape(H, _LANES))
+    inputs.append(v.reshape(-1, _LANES))
 
     block = pl.BlockSpec(
         (tile_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    vec_block = pl.BlockSpec(
-        (H, _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
-    )
+    if fold is None:
+        vec_block = pl.BlockSpec(
+            (H, _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        y_rows = H
+    else:
+        vec_block = pl.BlockSpec(
+            (H, _LANES), lambda i, _tpp=tpp: (i // _tpp, 0),
+            memory_space=pltpu.VMEM,
+        )
+        y_rows = T_f * H
     in_specs = [block] * (10 * K + 2) + [vec_block]
     out_specs = [block] * (4 * K) + [vec_block]
     out_shape = [jax.ShapeDtypeStruct((rows, _LANES), sD.dtype)] * (4 * K) + [
-        jax.ShapeDtypeStruct((H, _LANES), sD.dtype)
+        jax.ShapeDtypeStruct((y_rows, _LANES), sD.dtype)
     ]
 
     kernel = functools.partial(
-        _fused_delta_kernel, K, kind, needs_floor, cfg, alpha, H
+        _fused_delta_kernel, K, kind, needs_floor, cfg, alpha, H,
+        fold=None if fold is None else (tpp, n_real),
     )
 
     def kfn(*refs):
@@ -627,7 +709,7 @@ def fused_step_delta(
     sLn = jnp.stack([out[K + c].reshape(m) for c in range(K)])
     A = jnp.stack([out[2 * K + c].reshape(m) for c in range(K)])
     B = jnp.stack([out[3 * K + c].reshape(m) for c in range(K)])
-    y = out[4 * K].reshape(n_pad)
+    y = out[4 * K].reshape(-1)  # fold: (T*n_pad_local,) per-point layout
     return sDn, sLn, A, B, y
 
 

@@ -223,6 +223,10 @@ class AdmmSolver:
         # reduce-scatter the n-vector and run the prox on n/D-blocks
         # instead of psum + replicated prox (SURVEY.md §5 reduce_scatter).
         self._consensus_prox = consensus_prox
+        # block-diagonal scenario folding (solver/fold.py): when set to
+        # (T, n_real), the fused path exchanges each point against its
+        # OWN price block (H stays n_real/128 instead of T*n_real/128)
+        self._fold = None
         self._solve_jit = jax.jit(self._solve_impl)
         self._solve_fused_jit = None  # built lazily by solve_fused
         self._batch_reserves_jit = None  # built lazily by solve_batch_reserves
@@ -442,6 +446,33 @@ class AdmmSolver:
         nu0 = jnp.zeros((self.n,), self.dtype)
         return s0, wdef0, nu0
 
+    def _fold_pack(self, w, fold):
+        """(n,)-consensus vector -> the fused kernel's padded price
+        layout, plus the inverse for the reduced y.  Unfolded: zero-pad
+        to a lane multiple / slice back.  Folded (T, n_real): pad EACH
+        point's block to its own lane multiple so every tile reads a
+        (H_local, 128)-aligned slab."""
+        n = self.n
+        if fold is None:
+            n_pad = -(-n // 128) * 128
+            v = jnp.concatenate(
+                [w, jnp.zeros((n_pad - n,), self.dtype)]
+            )
+            return v, lambda y: y[:n]
+        T_f, n_real = fold
+        # per-point blocks must be 8-sublane (1024-value) aligned: a
+        # (H, 128) block that is PART of a larger array is only legal
+        # for Mosaic when H is a multiple of 8
+        npl = -(-n_real // 1024) * 1024
+        v = jnp.concatenate(
+            [
+                w.reshape(T_f, n_real),
+                jnp.zeros((T_f, npl - n_real), self.dtype),
+            ],
+            axis=1,
+        ).reshape(-1)
+        return v, lambda y: y.reshape(T_f, npl)[:, :n_real].reshape(-1)
+
     def _iterate_fused(self, s, wdef, nu, rho, c, lo, hi, util=None,
                        interpret=False, buckets=None):
         from ..ops.iteration_pallas import fused_step
@@ -450,11 +481,9 @@ class AdmmSolver:
         buckets = self.buckets if buckets is None else buckets
         alpha = float(self.options.alpha)
         n = self.n
-        n_pad = -(-n // 128) * 128
-        v = jnp.concatenate(
-            [wdef - nu, jnp.zeros((n_pad - n,), self.dtype)]
-        )
-        y = jnp.zeros((n_pad,), self.dtype)
+        fold = getattr(self, "_fold", None)
+        v, unpack = self._fold_pack(wdef - nu, fold)
+        y = jnp.zeros(v.shape, self.dtype)
         s_new = {}
         w_out = {}
         for name, arrs in buckets.items():
@@ -463,13 +492,14 @@ class AdmmSolver:
             sDn, sLn, D, L, yp = fused_step(
                 sD, sL, v, arrs, kind, floor, alpha,
                 cfg=self.options.projection, interpret=interpret,
+                fold=fold,
             )
             s_new[name] = (sDn, sLn)
             w_out[name] = (D, L)
             y = y + yp
         # under shard_map each device reduced only its local pool shard;
         # one n-vector psum completes the consensus (same site as _iterate)
-        yhat = self._psum(y[:n]) - 2.0 * (1.0 - alpha) * self.degree * wdef
+        yhat = self._psum(unpack(y)) - 2.0 * (1.0 - alpha) * self.degree * wdef
         svec = yhat - 2.0 * self.degree * nu
         if util is None:
             psi, mu = psi_prox(svec, self.degree, c, lo, hi, rho)

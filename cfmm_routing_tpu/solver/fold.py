@@ -97,6 +97,39 @@ def unfold_vec(x: np.ndarray, T: int) -> np.ndarray:
     return x.reshape(T, -1)
 
 
+_SOLVER_CACHE = {}  # (id(compiled), T, cls, dtype, opts repr, chunk) ->
+#                     (compiled ref, solver, driver) — jitted programs are
+#                     per-instance, so rebuilding the folded solver on
+#                     every call re-traces and re-compiles the whole
+#                     iteration (measured: 15+ s per call over the
+#                     remote-TPU tunnel vs 0.8 s of actual solve)
+_CACHE_CAP = 6
+
+
+def folded_solver(compiled, T, options, dtype, cls=None, chunk=None):
+    """Build-or-reuse a solver over ``fold_compiled(compiled, T)`` (and
+    its ChunkedDriver when ``chunk`` is given).  The cache holds a strong
+    reference to ``compiled`` so the id key stays valid."""
+    from .admm import AdmmSolver
+
+    cls = cls if cls is not None else AdmmSolver
+    key = (id(compiled), T, cls.__name__, str(dtype), repr(options), chunk)
+    hit = _SOLVER_CACHE.get(key)
+    if hit is not None:
+        return hit[1], hit[2]
+    solver = cls(fold_compiled(compiled, T), dtype=dtype, options=options)
+    solver._fold = (T, compiled.n_assets)
+    driver = None
+    if chunk is not None:
+        from .driver import ChunkedDriver
+
+        driver = ChunkedDriver(solver, chunk=chunk, fused=True)
+    if len(_SOLVER_CACHE) >= _CACHE_CAP:
+        _SOLVER_CACHE.pop(next(iter(_SOLVER_CACHE)))
+    _SOLVER_CACHE[key] = (compiled, solver, driver)
+    return solver, driver
+
+
 def unfold_route(res, T: int, c: np.ndarray = None):
     """Folded RouteResult -> per-point batched RouteResult.
 
@@ -157,16 +190,21 @@ def solve_batch_folded(
 
     c = np.asarray(c, np.float64)
     T = c.shape[0]
-    fcompiled = fold_compiled(compiled, T)
     opts = options if options is not None else AdmmOptions()
     dt = dtype if dtype is not None else jnp.float32
-    solver = AdmmSolver(fcompiled, dtype=dt, options=opts)
     if fused is None:
         import jax
 
         fused = jax.default_backend() not in ("cpu",) and all(
-            b.mask.shape[0] % 128 == 0 for b in fcompiled.buckets.values()
+            b.mask.shape[0] % 128 == 0 for b in compiled.buckets.values()
         )
+    solver, drv = folded_solver(
+        compiled, T, opts, dt, chunk=chunk if fused and not interpret else None
+    )
+    if fused and interpret:  # CPU tests of the fused path: uncached
+        from .driver import ChunkedDriver
+
+        drv = ChunkedDriver(solver, chunk=chunk, interpret=True, fused=True)
     obj_f = Objective(
         fold_vec(c),
         lo=fold_vec(np.asarray(lo, np.float64)),
@@ -174,10 +212,6 @@ def solve_batch_folded(
     )
     mi = max_iters if max_iters is not None else opts.max_iters
     if fused:
-        from .driver import ChunkedDriver
-
-        drv = ChunkedDriver(solver, chunk=chunk, interpret=interpret,
-                            fused=True)
         res, _log = drv.solve(obj_f, max_iters=mi, rho=rho)
     else:
         res = solver.solve(obj_f, rho=rho, max_iters=mi)

@@ -342,12 +342,9 @@ class DeltaAdmmSolver(AdmmSolver):
 
         buckets = self.buckets if buckets is None else buckets
         alpha = float(self.options.alpha)
-        n = self.n
-        n_pad = -(-n // 128) * 128
-        v = jnp.concatenate(
-            [wdef - nu, jnp.zeros((n_pad - n,), self.dtype)]
-        )
-        y = jnp.zeros((n_pad,), self.dtype)
+        fold = getattr(self, "_fold", None)
+        v, unpack = self._fold_pack(wdef - nu, fold)
+        y = jnp.zeros(v.shape, self.dtype)
         s_new = {}
         w_out = {}
         for name, arrs in buckets.items():
@@ -356,11 +353,12 @@ class DeltaAdmmSolver(AdmmSolver):
             sDn, sLn, A, B, yp = fused_step_delta(
                 sD, sL, v, arrs, kind, floor, alpha,
                 cfg=self.options.projection, interpret=interpret,
+                fold=fold,
             )
             s_new[name] = (sDn, sLn)
             w_out[name] = (A, B)
             y = y + yp
-        yhat = self._psum(y[:n]) - 2.0 * (1.0 - alpha) * self.degree * wdef
+        yhat = self._psum(unpack(y)) - 2.0 * (1.0 - alpha) * self.degree * wdef
         if util is None:
             # delta-dual linear prox (c == e0, nu == dnu: both small)
             d_safe = jnp.maximum(self.degree, 1.0)
@@ -946,10 +944,14 @@ def refine_sweep(
             adapt_rho=False,
         )
         if fold:
-            from .fold import fold_compiled
+            from .fold import folded_solver
 
-            fsolver = DeltaAdmmSolver(
-                fold_compiled(compiled, T), dtype=jnp.float32, options=opts
+            # block-aware fused exchange (ops/iteration_pallas.py fold=):
+            # each point against its own price block — H stays n/128.
+            # Cached: re-building the folded solver re-compiles the whole
+            # delta iteration (15+ s over the remote-TPU tunnel)
+            fsolver, _ = folded_solver(
+                compiled, T, opts, jnp.float32, cls=DeltaAdmmSolver
             )
             fused_fold = _fused_delta_ok(fsolver) and _on_accelerator()
         else:
