@@ -43,8 +43,17 @@ from .solver.precondition import (  # noqa: F401
     equilibrate,
     unscale_result,
 )
+from .solver.fold import (  # noqa: F401
+    fold_compiled,
+    solve_batch_folded,
+    solve_batch_reserves_folded,
+)
 from .solver.refine import RefineResult, refine  # noqa: F401
-from .solver.refine_device import DeltaAdmmSolver, refine_device  # noqa: F401
+from .solver.refine_device import (  # noqa: F401
+    DeltaAdmmSolver,
+    refine_device,
+    refine_sweep,
+)
 from .parallel.mesh import pool_batch_mesh, pool_mesh  # noqa: F401
 from .parallel.sharded import (  # noqa: F401
     ShardedAdmmSolver,
@@ -81,6 +90,10 @@ __all__ = [
     "equilibrate",
     "refine",
     "refine_device",
+    "refine_sweep",
+    "fold_compiled",
+    "solve_batch_folded",
+    "solve_batch_reserves_folded",
     "DeltaAdmmSolver",
     "ShardedAdmmSolver",
     "ShardedDeltaAdmmSolver",

@@ -40,7 +40,9 @@ __all__ = [
 ]
 
 
-def fold_compiled(compiled: CompiledProblem, T: int) -> CompiledProblem:
+def fold_compiled(
+    compiled: CompiledProblem, T: int, reserve_scale=None
+) -> CompiledProblem:
     """T copies of the problem, concatenated along the pool axis.
 
     Point t's pools carry asset ids offset by ``t*n`` (padding slots move
@@ -48,8 +50,21 @@ def fold_compiled(compiled: CompiledProblem, T: int) -> CompiledProblem:
     block-diagonal: one solve over the folded problem == T independent
     solves.  Bucket pool counts multiply by T, preserving the fused
     kernel's lane alignment (``pad_pools_to`` multiples stay multiples).
+
+    ``reserve_scale``: optional (T, n_pools) per-point multiplicative
+    reserve factors (BASELINE config 5 — per-pool reserve scenarios);
+    each point's bucket block carries its own reserves and recomputed
+    invariants, so a reserve-state batch rides the fused kernel exactly
+    like an objective sweep.
     """
     n = compiled.n_assets
+    if reserve_scale is not None:
+        reserve_scale = np.asarray(reserve_scale, np.float64)
+        if reserve_scale.shape != (T, compiled.n_pools):
+            raise ValueError(
+                f"reserve_scale must be (T={T}, n_pools="
+                f"{compiled.n_pools}); got {reserve_scale.shape}"
+            )
     buckets: Dict[str, Bucket] = {}
     for name, b in compiled.buckets.items():
         m = b.mask.shape[0]
@@ -58,15 +73,35 @@ def fold_compiled(compiled: CompiledProblem, T: int) -> CompiledProblem:
         asset_f = np.concatenate(
             [np.where(real, b.asset + t * n, T * n) for t in range(T)]
         ).astype(np.int32)
+        if reserve_scale is None:
+            R_f = np.tile(b.reserves, (T, 1))
+            logk0_f = np.tile(b.logk0, T)
+            k0_f = np.tile(b.k0, T)
+        else:
+            sc = np.ones((T, m))
+            sc[:, : len(b.pool_ids)] = reserve_scale[:, b.pool_ids]
+            R_f = (b.reserves[None] * sc[:, :, None]).reshape(T * m, -1)
+            if b.kind == "gm":
+                y = np.where(
+                    np.tile(real, (T, 1)), R_f + np.tile(b.shift, (T, 1)),
+                    1.0,
+                )
+                logk0_f = np.sum(
+                    np.tile(b.weights, (T, 1)) * np.log(y), axis=1
+                )
+                k0_f = np.exp(logk0_f)
+            else:
+                k0_f = np.sum(np.tile(b.weights, (T, 1)) * R_f, axis=1)
+                logk0_f = np.log(np.maximum(k0_f, 1e-300))
         buckets[name] = Bucket(
             kind=b.kind,
             width=b.width,
-            reserves=np.tile(b.reserves, (T, 1)),
+            reserves=R_f,
             weights=np.tile(b.weights, (T, 1)),
             shift=np.tile(b.shift, (T, 1)),
             gamma=np.tile(b.gamma, (T, 1)),
-            logk0=np.tile(b.logk0, T),
-            k0=np.tile(b.k0, T),
+            logk0=logk0_f,
+            k0=k0_f,
             mask=np.tile(b.mask, (T, 1)),
             asset=asset_f,
             pool_ids=np.concatenate(
@@ -216,6 +251,85 @@ def solve_batch_folded(
     else:
         res = solver.solve(obj_f, rho=rho, max_iters=mi)
     return unfold_route(res, T, c=c)
+
+
+def solve_batch_reserves_folded(
+    compiled: CompiledProblem,
+    objective,
+    reserve_scale,
+    options=None,
+    dtype=None,
+    n_iters: int = 750,
+    rho: float = None,
+    fused: bool = None,
+    interpret: bool = False,
+):
+    """T per-pool reserve scenarios (BASELINE config 5) as ONE folded
+    fused solve.
+
+    The reserve-derived leaves (R, k0, logk0) ride the TRACED ``buckets``
+    argument of the cached folded solver's jitted programs — changing
+    the scenario batch never recompiles.  Linear objectives; fixed
+    ``n_iters`` iterations (the scenario-batch contract — mirror of
+    ``AdmmSolver.solve_batch_reserves``).  Returns a per-point batched
+    RouteResult."""
+    import jax.numpy as jnp
+
+    from .admm import AdmmOptions
+
+    reserve_scale = np.asarray(reserve_scale, np.float64)
+    T = reserve_scale.shape[0]
+    opts = options if options is not None else AdmmOptions()
+    dt = dtype if dtype is not None else jnp.float32
+    if fused is None:
+        import jax
+
+        fused = (
+            jax.default_backend() not in ("cpu",) or interpret
+        ) and all(
+            b.mask.shape[0] % 128 == 0 for b in compiled.buckets.values()
+        )
+    solver, _ = folded_solver(compiled, T, opts, dt)
+    fc_scaled = fold_compiled(compiled, T, reserve_scale)
+    bdict = {}
+    host = {}
+    for name, b in fc_scaled.buckets.items():
+        host[name] = dict(
+            R=b.reserves.T.astype(np.float32),
+            k0=b.k0.astype(np.float32),
+            logk0=b.logk0.astype(np.float32),
+        )
+    import jax
+
+    uploads = jax.device_put(host)
+    for name in fc_scaled.buckets:
+        arrs = dict(solver.buckets[name])
+        arrs.update(uploads[name])
+        bdict[name] = arrs
+    c = np.tile(np.asarray(objective.c, np.float64), T)
+    fmax = np.finfo(np.float32).max / 4
+    lo = np.tile(np.clip(np.asarray(objective.lo, np.float64), -fmax, fmax), T)
+    hi = np.tile(np.clip(np.asarray(objective.hi, np.float64), -fmax, fmax), T)
+    cJ = jnp.asarray(c, dt)
+    loJ = jnp.asarray(lo, dt)
+    hiJ = jnp.asarray(hi, dt)
+    rhoJ = jnp.asarray(rho if rho is not None else opts.rho, dt)
+    if fused:
+        if solver._solve_fused_jit is None:
+            solver._solve_fused_jit = jax.jit(
+                solver._solve_fused_impl,
+                static_argnames=("n_iters", "interpret", "merged"),
+            )
+        res = solver._solve_fused_jit(
+            cJ, loJ, hiJ, rhoJ, n_iters=int(n_iters), interpret=interpret,
+            buckets=bdict,
+        )
+    else:
+        res = solver._solve_jit(
+            cJ, loJ, hiJ, rhoJ, None, None, None, bdict,
+            max_iters=jnp.asarray(int(n_iters), jnp.int32),
+        )
+    return unfold_route(res, T, c=c.reshape(T, -1))
 
 
 def fold_planes(planes: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:

@@ -99,3 +99,32 @@ def test_refine_sweep_fold_and_vmap_agree():
             (f"{ct.gap_rel:.2e}", f"{ct.feasibility_rel:.2e}")
             for ct in ref.certificates
         ])
+
+
+def test_solve_batch_reserves_folded_matches_vmapped():
+    """Folded reserve-state scenarios (BASELINE config 5) == the vmapped
+    solve_batch_reserves to the shared f32 iteration tolerance; the
+    reserve leaves ride the traced buckets argument, so scenario batches
+    never recompile."""
+    from cfmm_routing_tpu.solver.fold import solve_batch_reserves_folded
+
+    compiled, c, lo, hi = _setup(T=1)
+    del c, lo, hi
+    table, obj = random_arbitrage_table(12, 60, seed=5)
+    from cfmm_routing_tpu.solver.precondition import equilibrate as _eq
+
+    eq = _eq(table, obj)
+    T = 3
+    rng = np.random.default_rng(9)
+    scale = rng.uniform(0.7, 1.3, size=(T, compiled.n_pools))
+    opts = AdmmOptions(max_iters=800, eps_abs=0.0, eps_rel=0.0,
+                       adapt_rho=False)
+    res_f = solve_batch_reserves_folded(
+        compiled, eq.objective, scale, options=opts, n_iters=800
+    )
+    solver = AdmmSolver(compiled, dtype=jnp.float32, options=opts)
+    res_v = solver.solve_batch_reserves(eq.objective, scale)
+    obj_v = np.asarray(res_v.objective, np.float64)
+    assert np.all(
+        np.abs(res_f.objective - obj_v) <= 5e-4 * np.maximum(1, np.abs(obj_v))
+    ), (res_f.objective, obj_v)
