@@ -48,13 +48,16 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 import jax.numpy as jnp
 import numpy as np
 
-# 500-iteration chunks: each DeviceGate host pass costs one tunnel
-# fetch (~0.15 s) regardless of problem size, so 250-iteration chunks
-# (0.06-0.11 s of device work) left the gated loop HOST-bound — e2e at
-# 1k pools measured 4.08 s against a 1.13 s solve+refine.  At 500 the
-# chunk's device time matches the gate's host time and the overlap is
-# real; the price is a <=500-iteration overshoot at accept (~0.2 s).
-CHUNK = 500
+# 250-iteration chunks, gate FINISHED every 2nd chunk: each DeviceGate
+# host pass costs one tunnel fetch (~0.15 s) regardless of problem
+# size, so finishing a gate per 250-iteration chunk (0.06-0.11 s of
+# device work) left the gated loop HOST-bound — e2e at 1k pools
+# measured 4.08 s against a 1.13 s solve+refine.  Doubling CHUNK to 500
+# instead halved the rho-adaptation cadence and the 100k handoff slid
+# from ~2.2k to 9.5k iterations — adaptation needs the 250 cadence;
+# only the HOST gate work is worth thinning.
+CHUNK = 250
+GATE_EVERY = 2  # finish one gate per this many chunks
 MAX_ITERS = 12_000
 GAP_LOOSE = 1e-3
 GAP_TIGHT = 1e-6
@@ -309,26 +312,30 @@ def run_config(m, n_assets, B, fused):
         return False
 
     t_e2e0 = time.perf_counter()
+    ci = 0
     while iters < MAX_ITERS:
         t0 = time.perf_counter()
         z_n, nu_n, r2, s2, w2, z2, u2, psi, objv = drv._chunk_jit(
             z, nu, rho, c, lo, hi, None
         )
         iters += CHUNK
-        # dispatch the gate for THIS chunk's state (async; device runs it
-        # right after the chunk), then do the PREVIOUS chunk's host-side
-        # gate work while the device is busy
-        gate_out = dict(gate.evaluate(z_n, nu_n, rho))
-        gate_out["psi_solve"] = psi
+        ci += 1
+        # dispatch a gate for THIS chunk's state every GATE_EVERY chunks
+        # (async; device runs it right after the chunk), then do the
+        # HELD gate's host-side work while the device is busy
+        gate_out = None
+        if ci % GATE_EVERY == 0:
+            gate_out = dict(gate.evaluate(z_n, nu_n, rho))
+            gate_out["psi_solve"] = psi
         prev = pending
         pending = None
         stop = False
         if prev is not None:
             stop = _host_gate(prev)
         if stop:
-            # decisions act on the PREVIOUS snapshot; roll the state back
-            # to it (the in-flight chunk is discarded — one chunk of
-            # device work, already overlapped with the host pass)
+            # decisions act on the HELD snapshot; roll the state back
+            # to it (the in-flight work is discarded — already
+            # overlapped with the host pass)
             iters = prev[0]
             z, nu, rho = prev[1], prev[2], prev[3]
             solve_s = prev[4]
@@ -338,7 +345,8 @@ def run_config(m, n_assets, B, fused):
         r = float(jnp.sqrt(r2))
         s = float(jnp.sqrt(s2))
         z, nu = z_n, nu_n
-        pending = (iters, z_n, nu_n, rho, solve_s, gate_out)
+        if gate_out is not None:
+            pending = (iters, z_n, nu_n, rho, solve_s, gate_out)
         # never adapt off a (near-)exact f32 fixed point: r can reach
         # EXACTLY 0 there, and the s > 3r branch would then halve rho
         # every remaining chunk, handing the refine stage a collapsed
